@@ -107,25 +107,29 @@ class CondDiffusion(NamedTuple):
         return out, xh_pocket
 
     # -- single reverse step (conditional_model.py:483-540) ---------------
-    def sample_p_zs_given_zt(self, key, step_s, step_t, z_lig, xh_pocket,
+    def sample_p_zs_given_zt(self, key, s_norm, t_norm, z_lig, xh_pocket,
                              lig_mask, pocket_mask, eps_fn: EpsFn,
                              adjust_fn=None, fix_noise: bool = False):
-        """One denoising step t -> s with integer step indices [B] or scalar.
+        """One denoising step t -> s with *normalized* times in [0, 1]
+        ([B] or scalar) — gamma lookup rounds t*T like the reference
+        (en_diffusion.py:1193-1195), so sampling with timesteps != T works.
 
         adjust_fn: optional policy z_t -> adjustment added to eps_hat (the
         AdjustNet hook, conditional_model.py:509-516); returns
-        (z_s, xh_pocket, log_prob_adjust).
+        (z_s, xh_pocket, log_prob_adjust, eps_lig_pre_adjustment).
         """
-        T = self.schedule.timesteps
-        gamma_s = self.gamma_int(jnp.broadcast_to(step_s, (z_lig.shape[0],)))
-        gamma_t = self.gamma_int(jnp.broadcast_to(step_t, (z_lig.shape[0],)))
+        b = z_lig.shape[0]
+        s_norm = jnp.broadcast_to(s_norm, (b,))
+        t_norm = jnp.broadcast_to(t_norm, (b,))
+        gamma_s = self.schedule(s_norm)
+        gamma_t = self.schedule(t_norm)
 
         sig2_ts, sig_ts, alpha_ts = S.sigma_and_alpha_t_given_s(
             gamma_t, gamma_s)
         sigma_s, sigma_t = self.sigma(gamma_s), self.sigma(gamma_t)
 
-        t_norm = jnp.broadcast_to(step_t, (z_lig.shape[0],)) / T
         eps_lig, _ = eps_fn(z_lig, xh_pocket, t_norm, lig_mask, pocket_mask)
+        eps_pre = eps_lig
 
         log_prob_adjust = jnp.zeros(())
         if adjust_fn is not None:
@@ -140,7 +144,7 @@ class CondDiffusion(NamedTuple):
         sigma = sig_ts * sigma_s / sigma_t
         z_s, xh_pocket = self.sample_normal_zero_com(
             key, mu, xh_pocket, sigma, lig_mask, pocket_mask, fix_noise)
-        return z_s, xh_pocket, log_prob_adjust
+        return z_s, xh_pocket, log_prob_adjust, eps_pre
 
     def sample_p_zt_given_zs(self, key, z_s_lig, xh_pocket, lig_mask,
                              pocket_mask, gamma_t, gamma_s,
@@ -158,16 +162,13 @@ class CondDiffusion(NamedTuple):
         a, s = _b11(self.alpha(gamma_t)), _b11(self.sigma(gamma_t))
         return z_t / a - eps * s / a
 
-    def to_x0(self, z_t_lig, xh_pocket, step_t, lig_mask, pocket_mask,
+    def to_x0(self, z_t_lig, xh_pocket, t_norm, lig_mask, pocket_mask,
               eps_fn: EpsFn):
         """One-step x0 projection used by guidance lookahead
-        (conditional_model.py:456-468): predict eps at t, roll to z0, then
-        decode without the final-step noise (deterministic variant of
-        sample_p_xh_given_z0 with fixed noise)."""
-        T = self.schedule.timesteps
+        (conditional_model.py:456-468): predict eps at t and roll to z0."""
         b = z_t_lig.shape[0]
-        gamma_t = self.gamma_int(jnp.broadcast_to(step_t, (b,)))
-        t_norm = jnp.broadcast_to(step_t, (b,)) / T
+        t_norm = jnp.broadcast_to(t_norm, (b,))
+        gamma_t = self.schedule(t_norm)
         eps_lig, _ = eps_fn(z_t_lig, xh_pocket, t_norm, lig_mask, pocket_mask)
         z0 = self.xh_given_zt_and_epsilon(z_t_lig, eps_lig, gamma_t)
         return z0

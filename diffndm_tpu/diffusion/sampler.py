@@ -1,0 +1,231 @@
+"""Pocket-conditional sampling.
+
+The reference's ``sample_given_pocket`` (conditional_model.py:886-1489) is a
+Python loop over 500-600 timesteps with per-step host sync, temp-file
+OpenBabel round trips inside guidance, and mask-offset candidate surgery.
+Here the whole reverse trajectory is ONE ``jax.lax.scan`` compiled by XLA:
+
+- the per-step transition, the AdjustNet policy, ATP branch fan-out and
+  SPSA probe fan-out are all in-graph; candidate populations are leading
+  batch axes;
+- chemistry rewards enter through batched ``io_callback``s (one per
+  guidance event, not one per molecule);
+- guidance cadences (s <= start, s % every == 0) are ``lax.cond``
+  branches on the traced step index, so the scan compiles once.
+
+RL (AdjustNet) support: when ``collect_rl`` the scan also stacks the
+(z_t, eps_hat) pairs needed to rebuild the differentiable REINFORCE
+surrogate after decoding (conditional_model.py:956-961, :1463-1485).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffndm_tpu.config import SampleConfig
+from diffndm_tpu.diffusion.core import (CondDiffusion,
+                                        init_ligand_from_pocket)
+from diffndm_tpu.guidance.atp import atp_prune
+from diffndm_tpu.guidance.oracle import RewardOracle
+from diffndm_tpu.guidance.spsa import spsa_update
+from diffndm_tpu.ops.segment import masked_mean, remove_mean_ligand
+from diffndm_tpu.structs import NodeBatch
+
+
+class SampleResult(NamedTuple):
+    ligand: NodeBatch       # decoded ligand (original pocket frame)
+    pocket: NodeBatch       # pocket (possibly COM-shifted back)
+    avg_log_prob: jnp.ndarray
+    rl_traj: Optional[tuple]  # (z_t stack, eps_hat stack) when collected
+
+
+class ConditionalSampler:
+    """Bundles diffusion core + denoiser params + guidance config."""
+
+    def __init__(self, core: CondDiffusion, dynamics_module, params,
+                 cfg: SampleConfig, dataset_info: dict,
+                 oracle: Optional[RewardOracle] = None,
+                 adjust_module=None):
+        self.core = core
+        self.module = dynamics_module
+        self.params = params
+        self.cfg = cfg
+        self.dataset_info = dataset_info
+        self.oracle = oracle or RewardOracle(dataset_info)
+        self.adjust_module = adjust_module
+        self._run_cache = {}
+
+    def eps_fn(self, params):
+        def fn(z_lig, xh_pocket, t, lig_mask, pocket_mask):
+            return self.module.apply(params, z_lig, xh_pocket, t, lig_mask,
+                                     pocket_mask)
+        return fn
+
+    # -----------------------------------------------------------------
+    def _build_run(self, timesteps: int, optimize: bool, collect_rl: bool):
+        core, cfg, oracle = self.core, self.cfg, self.oracle
+
+        def run(params, adjust_params, key, pocket_x, pocket_h, pocket_mask,
+                lig_mask):
+            eps_fn = self.eps_fn(params)
+            adjust_fn = None
+            if self.adjust_module is not None and optimize:
+                adjust_fn = lambda z: self.adjust_module.apply(
+                    adjust_params, z)
+
+            # normalize pocket (norm_x first dim), cf. :914
+            nx, nh = core.cfg.norm_values
+            bh = core.cfg.norm_biases[1]
+            p_x = pocket_x / nx
+            p_h = (pocket_h - bh) / nh
+            p_x = p_x * pocket_mask[..., None]
+            p_h = p_h * pocket_mask[..., None]
+
+            key, k_init = jax.random.split(key)
+            z_lig, xh_pocket = init_ligand_from_pocket(
+                k_init, core, p_x, p_h, lig_mask, pocket_mask)
+
+            def step(carry, s):
+                z, xh_p, key, lp_sum, count = carry
+                key, k1, k2, k3 = jax.random.split(key, 4)
+                s_norm = s.astype(jnp.float32) / timesteps
+                t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
+
+                # pre-adjustment (z_t, eps_hat) feed the RL surrogate
+                z_pre = z
+                z, xh_p, lp, eps_pre = core.sample_p_zs_given_zt(
+                    k1, s_norm, t_norm, z, xh_p, lig_mask, pocket_mask,
+                    eps_fn, adjust_fn=adjust_fn)
+                lp_sum = lp_sum + lp
+                count = count + 1.0
+
+                if cfg.atp.enabled:
+                    active = (s <= cfg.atp.start_step) & \
+                             (s % cfg.atp.every == 0)
+                    z, xh_p = jax.lax.cond(
+                        active,
+                        lambda args: atp_prune(
+                            k2, core, eps_fn, oracle, args[0], args[1],
+                            lig_mask, pocket_mask, s_norm, t_norm, s,
+                            cfg.atp, adjust_fn=adjust_fn),
+                        lambda args: args,
+                        (z, xh_p))
+
+                if cfg.spsa.enabled:
+                    active = (s <= cfg.spsa.start_step) & \
+                             (s % cfg.spsa.every == 0)
+                    zeta = cfg.spsa.zeta0 * s.astype(jnp.float32) / \
+                        cfg.spsa.zeta_denom
+                    z, xh_p = jax.lax.cond(
+                        active,
+                        lambda args: spsa_update(
+                            k3, core, eps_fn, oracle, args[0], args[1],
+                            lig_mask, pocket_mask, t_norm, zeta, cfg.spsa),
+                        lambda args: args,
+                        (z, xh_p))
+
+                ys = (z_pre, eps_pre) if collect_rl else None
+                return (z, xh_p, key, lp_sum, count), ys
+
+            steps = jnp.arange(timesteps - 1, -1, -1)
+            (z_lig, xh_pocket, key, lp_sum, count), traj = jax.lax.scan(
+                step, (z_lig, xh_pocket, key, jnp.zeros(()), jnp.zeros(())),
+                steps)
+
+            key, k_dec = jax.random.split(key)
+            x_lig, h_lig, x_pocket, h_pocket = core.sample_p_xh_given_z0(
+                k_dec, z_lig, xh_pocket, lig_mask, pocket_mask, eps_fn)
+
+            # CoG drift projection (:1432-1438): re-centering on the ligand
+            # COM is the identity when drift is already ~0
+            x_lig, x_pocket = remove_mean_ligand(x_lig, x_pocket, lig_mask,
+                                                 pocket_mask)
+
+            # shift back to the original pocket frame
+            # (lightning_modules.py:906-911 / handle_to_mol:845-862)
+            com_before = masked_mean(pocket_x, pocket_mask, axis=1,
+                                     keepdims=True)
+            com_after = masked_mean(x_pocket, pocket_mask, axis=1,
+                                    keepdims=True)
+            shift = com_before - com_after
+            x_lig = (x_lig + shift) * lig_mask[..., None]
+            x_pocket = (x_pocket + shift) * pocket_mask[..., None]
+
+            avg_lp = lp_sum / jnp.maximum(count, 1.0)
+            return x_lig, h_lig, x_pocket, h_pocket, avg_lp, traj
+
+        return jax.jit(run)
+
+    # -----------------------------------------------------------------
+    def sample_given_pocket(self, key, pocket: NodeBatch,
+                            num_nodes_lig: np.ndarray,
+                            timesteps: Optional[int] = None,
+                            adjust_params=None, optimize: bool = False,
+                            collect_rl: bool = False) -> SampleResult:
+        """Generate ligands for a (padded, batched) pocket.
+
+        num_nodes_lig: [B] node counts.  The ligand padding bucket is the
+        max count rounded up to ``cfg.lig_pad_multiple``.
+        """
+        timesteps = timesteps or self.core.schedule.timesteps
+        b = pocket.x.shape[0]
+        n_max = int(np.asarray(num_nodes_lig).max())
+        nl = -(-n_max // self.cfg.lig_pad_multiple) * \
+            self.cfg.lig_pad_multiple
+        lig_mask = (np.arange(nl)[None, :]
+                    < np.asarray(num_nodes_lig)[:, None]).astype(np.float32)
+        lig_mask = jnp.asarray(lig_mask)
+
+        cache_key = (timesteps, optimize, collect_rl, nl,
+                     pocket.x.shape[1], b)
+        if cache_key not in self._run_cache:
+            self._run_cache[cache_key] = self._build_run(
+                timesteps, optimize, collect_rl)
+        run = self._run_cache[cache_key]
+
+        x_lig, h_lig, x_pocket, h_pocket, avg_lp, traj = run(
+            self.params, adjust_params, key, pocket.x, pocket.h,
+            pocket.mask, lig_mask)
+        return SampleResult(
+            ligand=NodeBatch(x=x_lig, h=h_lig, mask=lig_mask),
+            pocket=NodeBatch(x=x_pocket, h=h_pocket, mask=pocket.mask),
+            avg_log_prob=avg_lp,
+            rl_traj=traj if collect_rl else None)
+
+    # -----------------------------------------------------------------
+    def rl_update(self, adjust_state, result: SampleResult,
+                  pocket: NodeBatch):
+        """REINFORCE update of the AdjustNet after a generation
+        (conditional_model.py:1447-1485)."""
+        cfg = self.cfg.rl
+        reward = self.oracle.rl_reward_host(
+            np.asarray(result.ligand.x), np.asarray(result.ligand.h),
+            np.asarray(result.ligand.mask), cfg)
+
+        z_stack, eps_stack = result.rl_traj
+        lig_mask = result.ligand.mask
+
+        def loss_fn(params):
+            adj = adjust_state.module.apply(params, z_stack)
+            ml = lig_mask[None, ..., None]
+            lp = -0.5 * jnp.mean(((adj - eps_stack) * ml) ** 2)
+            return reward * lp * cfg.reward_scale
+
+        loss, grads = jax.value_and_grad(loss_fn)(adjust_state.params)
+        updates, adjust_state.opt_state = adjust_state.tx.update(
+            grads, adjust_state.opt_state, adjust_state.params)
+        adjust_state.params = jax.tree.map(
+            lambda p, u: p + u, adjust_state.params, updates)
+        grad_norm = float(optax_global_norm(grads))
+        return float(loss), grad_norm, reward
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    import optax
+
+    return optax.global_norm(tree)

@@ -1,0 +1,87 @@
+"""ATP — adaptive trajectory pruning (SVDD-style candidate selection).
+
+Replaces the reference's mask-offset candidate bookkeeping
+(conditional_model.py:1085-1241): candidate branches live on a leading
+group axis ``[G, B, ...]``, selection is one ``lax.top_k`` over the G*B
+mixed rewards followed by a static gather — no node-list rebuilds.
+
+Per reference semantics at a prune step s (after the s-step update):
+- groups = {current z_s} + (G-1) branches obtained by applying the same
+  (s, t) transition to z_s again with fresh noise (:1109-1129);
+- each group is also rolled to x0 by one-step lookahead (:1095, :1118);
+- both decodes are scored with the SVDD reward (:1179-1201);
+- mixed reward r = r_x0 * (s/250) + r_z * (250 - s/250) — the second
+  factor reproduces the reference's operator-precedence quirk (:1203);
+  ``compat_precedence=False`` uses (250 - s)/250;
+- top-B candidates (by mixed reward) replace the population, then ligand
+  COM is re-subtracted (:1205-1241).  The reference additionally leaves h
+  multiplied by norm_values[1] after each prune (an unnormalize without
+  re-normalize, :1235-1240); we do not reproduce that scaling bug.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diffndm_tpu.config import ATPConfig
+from diffndm_tpu.diffusion.core import CondDiffusion
+from diffndm_tpu.guidance.oracle import RewardOracle
+from diffndm_tpu.ops.segment import remove_mean_ligand
+
+
+def atp_prune(key, core: CondDiffusion, eps_fn, oracle: RewardOracle,
+              z_lig, xh_pocket, lig_mask, pocket_mask, s_norm, t_norm,
+              s_step, cfg: ATPConfig, adjust_fn=None):
+    """One pruning event. z_lig: [B, NL, D]; returns updated
+    (z_lig, xh_pocket)."""
+    b = z_lig.shape[0]
+    g_extra = cfg.num_groups - 1
+    n_dims = core.n_dims
+    nx, nh = core.cfg.norm_values
+
+    k_branch, k_sel = jax.random.split(key)
+
+    def branch(bk):
+        z_b, xh_b, _, _ = core.sample_p_zs_given_zt(
+            bk, s_norm, t_norm, z_lig, xh_pocket, lig_mask, pocket_mask,
+            eps_fn, adjust_fn=adjust_fn)
+        return z_b, xh_b
+
+    zb, xhb = jax.lax.map(branch, jax.random.split(k_branch, g_extra))
+    # groups: [G, B, ...]
+    z_groups = jnp.concatenate([z_lig[None], zb], axis=0)
+    xh_groups = jnp.concatenate([xh_pocket[None], xhb], axis=0)
+
+    def lookahead(zg):
+        z, xh = zg
+        return core.to_x0(z, xh, t_norm, lig_mask, pocket_mask, eps_fn)
+
+    z0_groups = jax.lax.map(lookahead, (z_groups, xh_groups))  # [G, B, NL, D]
+
+    g = cfg.num_groups
+    flat = lambda a: a.reshape((g * b,) + a.shape[2:])
+    lm_f = jnp.tile(lig_mask, (g, 1))
+
+    r_z = oracle.svdd_rewards(flat(z_groups)[..., :n_dims] * nx,
+                              flat(z_groups)[..., n_dims:], lm_f, cfg)
+    r_x0 = oracle.svdd_rewards(flat(z0_groups)[..., :n_dims] * nx,
+                               flat(z0_groups)[..., n_dims:], lm_f, cfg)
+
+    s_f = s_step.astype(jnp.float32)
+    if cfg.compat_precedence:
+        w_z = cfg.mix_denom - s_f / cfg.mix_denom  # (250 - s/250), :1203
+    else:
+        w_z = (cfg.mix_denom - s_f) / cfg.mix_denom
+    mixed = r_x0 * (s_f / cfg.mix_denom) + r_z * w_z
+
+    _, top_idx = jax.lax.top_k(mixed, b)  # [B] indices into G*B
+    z_new = flat(z_groups)[top_idx]
+    xh_new = flat(xh_groups)[top_idx]
+
+    zx, px = remove_mean_ligand(z_new[..., :n_dims], xh_new[..., :n_dims],
+                                lig_mask, pocket_mask)
+    z_new = jnp.concatenate([zx, z_new[..., n_dims:]], -1)
+    z_new = z_new * lig_mask[..., None]
+    xh_new = jnp.concatenate([px, xh_new[..., n_dims:]], -1)
+    return z_new, xh_new

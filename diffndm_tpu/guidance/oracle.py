@@ -1,0 +1,133 @@
+"""Host-side reward oracle bridged into jitted samplers via io_callback.
+
+This is the single device<->host choke point that replaces the reference's
+per-molecule OpenBabel-tempfile + RDKit round trip inside the sampling loop
+(conditional_model.py:845-882 ``handle_to_mol`` + ``my_reward_*``).  One
+batched callback scores a whole candidate population at once; bond
+perception is the in-memory valence-aware pass from ``chem.bonds``.
+
+Reward profiles (weights cited from the reference):
+
+- SPSA  (conditional_model.py:835-841): 2*QED + 3*SA + Lipinski/5
+- SVDD  (conditional_model.py:644-650): 2*QED + 2*SA
+        + sigmoid(k(logp-lo)) * sigmoid(-k(logp-hi)) + Lipinski/5
+- RL    (conditional_model.py:614-619): mean over batch of
+        6*QED + 2*SA + Lipinski/5  (scalar)
+
+Invalid molecules score 0 in every term (metrics.evaluate_new:318-339).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import io_callback
+
+from diffndm_tpu.chem.bonds import build_molecule
+from diffndm_tpu.chem.metrics import MoleculeProperties
+from diffndm_tpu.chem.sanitize import SanitizeError, sanitize
+
+
+def _sigmoid(z: float) -> float:
+    return 1.0 / (1.0 + math.exp(-z))
+
+
+class RewardOracle:
+    """Builds molecules from (coords, type one-hot, mask) batches and
+    scores them with a configurable weighted reward."""
+
+    def __init__(self, dataset_info: dict, num_workers: int = 0):
+        self.dataset_info = dataset_info
+        self.props = MoleculeProperties()
+        self.num_workers = num_workers
+        self._pool = None
+
+    # -- host side ---------------------------------------------------------
+    def _score_one(self, coords, types, w_qed, w_sa, w_lip, logp_k,
+                   logp_lo, logp_hi) -> float:
+        try:
+            mol = build_molecule(coords, types, self.dataset_info)
+            sanitize(mol)
+        except (SanitizeError, Exception):
+            return 0.0
+        r = (w_qed * self.props.calculate_qed(mol)
+             + w_sa * self.props.calculate_sa(mol)
+             + w_lip * self.props.calculate_lipinski(mol))
+        if logp_k > 0:
+            lp = self.props.calculate_logp(mol)
+            r += (_sigmoid(logp_k * (lp - logp_lo))
+                  * _sigmoid(-logp_k * (lp - logp_hi)))
+        return float(r)
+
+    def score_batch_host(self, coords: np.ndarray, h: np.ndarray,
+                         mask: np.ndarray, weights: tuple) -> np.ndarray:
+        """coords [B,N,3], h [B,N,F] (one-hot or logits), mask [B,N]
+        -> rewards [B] float32."""
+        w_qed, w_sa, w_lip, logp_k, logp_lo, logp_hi = weights
+        coords = np.asarray(coords)
+        types = np.asarray(h).argmax(-1)
+        mask = np.asarray(mask) > 0.5
+        out = np.zeros(coords.shape[0], dtype=np.float32)
+        items = [(coords[b][mask[b]], types[b][mask[b]])
+                 for b in range(coords.shape[0])]
+        if self.num_workers > 1 and len(items) >= 8:
+            pool = self._get_pool()
+            fn = partial(_score_star, self.dataset_info, weights)
+            for b, r in enumerate(pool.map(fn, items, chunksize=4)):
+                out[b] = r
+        else:
+            for b, (c, t) in enumerate(items):
+                out[b] = self._score_one(c, t, w_qed, w_sa, w_lip,
+                                         logp_k, logp_lo, logp_hi)
+        return out
+
+    def _get_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+
+            self._pool = mp.get_context("fork").Pool(self.num_workers)
+        return self._pool
+
+    # -- device side -------------------------------------------------------
+    def callback(self, coords: jnp.ndarray, h: jnp.ndarray,
+                 mask: jnp.ndarray, w_qed: float, w_sa: float,
+                 w_lipinski: float, logp_k: float = 0.0,
+                 logp_lo: float = 0.0, logp_hi: float = 0.0) -> jnp.ndarray:
+        """Jit-safe reward evaluation: [B] float32."""
+        weights = (w_qed, w_sa, w_lipinski, logp_k, logp_lo, logp_hi)
+        host = partial(self.score_batch_host, weights=weights)
+        b = coords.shape[0]
+        return io_callback(
+            host, jax.ShapeDtypeStruct((b,), jnp.float32),
+            coords, h, mask, ordered=False)
+
+    # convenience profiles
+    def spsa_rewards(self, coords, h, mask, cfg) -> jnp.ndarray:
+        return self.callback(coords, h, mask, cfg.w_qed, cfg.w_sa,
+                             cfg.w_lipinski)
+
+    def svdd_rewards(self, coords, h, mask, cfg) -> jnp.ndarray:
+        return self.callback(coords, h, mask, cfg.w_qed, cfg.w_sa,
+                             cfg.w_lipinski, cfg.logp_k, cfg.logp_lo,
+                             cfg.logp_hi)
+
+    def rl_reward_host(self, coords, h, mask, cfg) -> float:
+        """Scalar mean reward for the REINFORCE update (host-side)."""
+        r = self.score_batch_host(
+            coords, h, mask,
+            (cfg.w_qed, cfg.w_sa, cfg.w_lipinski, 0.0, 0.0, 0.0))
+        return float(np.mean(r))
+
+
+def _score_star(dataset_info, weights, item):
+    """Top-level worker entry (picklable) for the process pool."""
+    oracle = RewardOracle(dataset_info)
+    c, t = item
+    w_qed, w_sa, w_lip, logp_k, logp_lo, logp_hi = weights
+    return oracle._score_one(c, t, w_qed, w_sa, w_lip, logp_k, logp_lo,
+                             logp_hi)
