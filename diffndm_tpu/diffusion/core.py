@@ -266,9 +266,11 @@ class CondDiffusion(NamedTuple):
         def cdf(v):
             return 0.5 * (1.0 + jax.lax.erf(v / math.sqrt(2)))
 
-        log_ph_prop = jnp.log(
-            cdf((centered + 0.5) / sigma_0_cat)
-            - cdf((centered - 0.5) / sigma_0_cat) + epsilon)
+        # fp32 rounding can make the CDF difference slightly negative when
+        # both tails saturate; clamp before the log
+        cdf_diff = (cdf((centered + 0.5) / sigma_0_cat)
+                    - cdf((centered - 0.5) / sigma_0_cat))
+        log_ph_prop = jnp.log(jnp.maximum(cdf_diff, 0.0) + epsilon)
         log_z = jax.nn.logsumexp(log_ph_prop, axis=-1, keepdims=True)
         log_probs = log_ph_prop - log_z
         log_p_h = sum_except_batch(log_probs * onehot, lig_mask)

@@ -1,0 +1,2 @@
+from diffndm_tpu.parallel.mesh import (make_mesh, shard_batch,  # noqa: F401
+                                       replicate)
