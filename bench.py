@@ -1,0 +1,89 @@
+"""Headline benchmark: ligands/second/chip for pocket-conditional DDPM
+sampling at the flagship configuration (hidden 256, 6 EGNN layers, T=500,
+20 samples per pocket — the reference's measurement setup, my_test.py:86-88
+/ configs/crossdock_fullatom_cond.yml).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no throughput number (BASELINE.md); the
+PyTorch DiffSBDD stack is commonly measured at ~20 ligands in 10-15 min on
+a datacenter GPU at 500 steps.  We use 20/720 s = 0.0278 lig/s as the
+recorded baseline estimate; vs_baseline is measured/our-baseline.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_LIG_PER_SEC = 20.0 / 720.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffndm_tpu.config import (DiffusionConfig, EGNNConfig,
+                                    SampleConfig)
+    from diffndm_tpu.constants import dataset_params
+    from diffndm_tpu.diffusion import schedules as S
+    from diffndm_tpu.diffusion.core import CondDiffusion
+    from diffndm_tpu.diffusion.sampler import ConditionalSampler
+    from diffndm_tpu.models.dynamics import EGNNDynamics
+    from diffndm_tpu.structs import NodeBatch
+
+    atom_nf = 10
+    T = int(os.environ.get("BENCH_T", 500))
+    B = int(os.environ.get("BENCH_B", 20))       # samples per pocket
+    NP = int(os.environ.get("BENCH_NP", 320))    # full-atom pocket nodes
+    NL = int(os.environ.get("BENCH_NL", 24))     # ligand nodes
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+
+    cfg = EGNNConfig(hidden_nf=256, joint_nf=128, n_layers=6,
+                     inv_sublayers=1, attention=True, tanh=True,
+                     norm_constant=1.0, reflection_equivariant=False,
+                     edge_cutoff_pocket=5.0, edge_cutoff_interaction=5.0,
+                     row_tile=int(os.environ.get("BENCH_ROW_TILE", 64)),
+                     compute_dtype=dtype)
+    module = EGNNDynamics(cfg, atom_nf=atom_nf, residue_nf=atom_nf)
+    key = jax.random.PRNGKey(0)
+    params = module.init(key, jnp.zeros((1, NL, 13)),
+                         jnp.zeros((1, NP, 13)), jnp.zeros((1,)),
+                         jnp.ones((1, NL)), jnp.ones((1, NP)))
+    core = CondDiffusion(S.make_schedule("polynomial_2", 500, 5e-4),
+                         DiffusionConfig(timesteps=500), atom_nf, atom_nf)
+    DP = dataset_params["crossdock_full"]
+    sampler = ConditionalSampler(core, module, params, SampleConfig(), DP)
+
+    kp = jax.random.PRNGKey(1)
+    pocket = NodeBatch(
+        x=jax.random.normal(kp, (B, NP, 3)) * 4.0 + 10.0,
+        h=jax.nn.one_hot(jax.random.randint(kp, (B, NP), 0, 4), atom_nf),
+        mask=jnp.ones((B, NP)))
+    sizes = np.full((B,), NL)
+
+    # warmup / compile
+    res = sampler.sample_given_pocket(jax.random.PRNGKey(2), pocket, sizes,
+                                      timesteps=T)
+    jax.block_until_ready(res.ligand.x)
+
+    t0 = time.time()
+    res = sampler.sample_given_pocket(jax.random.PRNGKey(3), pocket, sizes,
+                                      timesteps=T)
+    jax.block_until_ready(res.ligand.x)
+    dt = time.time() - t0
+
+    lig_per_sec = B / dt
+    print(json.dumps({
+        "metric": "ligands_per_sec_per_chip_T500",
+        "value": round(lig_per_sec, 4),
+        "unit": "ligands/s",
+        "vs_baseline": round(lig_per_sec / BASELINE_LIG_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Evaluate generated SDF files: per-file and aggregate QED/SA/LogP/
+Lipinski + validity ratio (reference my_new_evaluate.py / evaluate_try.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def check_sdf_file(path: str, props):
+    from diffndm_tpu.chem.io import read_sdf
+    from diffndm_tpu.chem.sanitize import SanitizeError, sanitize
+
+    mols = read_sdf(path)
+    rows = []
+    for mol in mols:
+        try:
+            sanitize(mol)
+            rows.append((props.calculate_qed(mol), props.calculate_sa(mol),
+                         props.calculate_logp(mol),
+                         props.calculate_lipinski(mol), 1))
+        except SanitizeError:
+            rows.append((0.0, 0.0, 0.0, 0, 0))
+    return rows
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("sdf_dir", type=str,
+                   help="directory of SDF files (or a single file)")
+    p.add_argument("--expected_per_file", type=int, default=20)
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args(argv)
+
+    from diffndm_tpu.chem.metrics import MoleculeProperties
+
+    props = MoleculeProperties()
+    paths = ([args.sdf_dir] if args.sdf_dir.endswith(".sdf") else
+             sorted(os.path.join(args.sdf_dir, f)
+                    for f in os.listdir(args.sdf_dir)
+                    if f.endswith(".sdf")))
+    all_rows, lines = [], []
+    for path in paths:
+        rows = check_sdf_file(path, props)
+        valid = [r for r in rows if r[4]]
+        ratio = len(valid) / max(args.expected_per_file, 1)
+        if valid:
+            arr = np.array(valid, dtype=float)
+            lines.append(
+                f"{os.path.basename(path)}: n={len(rows)} "
+                f"valid_ratio={ratio:.2f} QED={arr[:, 0].mean():.3f} "
+                f"SA={arr[:, 1].mean():.3f} LogP={arr[:, 2].mean():.3f} "
+                f"Lipinski={arr[:, 3].mean():.3f}")
+        else:
+            lines.append(f"{os.path.basename(path)}: n={len(rows)} "
+                         f"valid_ratio=0.00")
+        all_rows += valid
+    if all_rows:
+        arr = np.array(all_rows, dtype=float)
+        lines.append(
+            f"AGGREGATE over {len(all_rows)} valid molecules: "
+            f"QED={arr[:, 0].mean():.3f}+-{arr[:, 0].std():.2f} "
+            f"SA={arr[:, 1].mean():.3f}+-{arr[:, 1].std():.2f} "
+            f"LogP={arr[:, 2].mean():.3f}+-{arr[:, 2].std():.2f} "
+            f"Lipinski={arr[:, 3].mean():.3f}+-{arr[:, 3].std():.2f}")
+    report = "\n".join(lines)
+    print(report)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(report + "\n")
+
+
+if __name__ == "__main__":
+    main()

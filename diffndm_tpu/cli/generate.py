@@ -1,0 +1,105 @@
+"""Conditional ligand generation CLI (reference generate_ligands.py).
+
+Example:
+    python -m diffndm_tpu.cli.generate ckpt_dir --pdbfile pocket.pdb \
+        --outfile out.sdf --ref_ligand A:330 --n_samples 20 \
+        --timesteps 600 --SPSA 1 --SVDD 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from pathlib import Path
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("checkpoint", type=str,
+                   help="orbax checkpoint dir or reference .ckpt file")
+    p.add_argument("--pdbfile", type=str, required=True)
+    p.add_argument("--outfile", type=str, required=True)
+    p.add_argument("--ref_ligand", type=str, default=None,
+                   help="SDF path or <chain>:<resi>")
+    p.add_argument("--n_samples", type=int, default=20)
+    p.add_argument("--num_nodes_lig", type=int, default=None)
+    p.add_argument("--timesteps", type=int, default=None)
+    p.add_argument("--all_frags", action="store_true")
+    p.add_argument("--sanitize", action="store_true")
+    p.add_argument("--relax", action="store_true")
+    p.add_argument("--resamplings", type=int, default=1)
+    p.add_argument("--config", type=str, default=None,
+                   help="model YAML (defaults to built-in fullatom cond)")
+    p.add_argument("--seed", type=int, default=0)
+    # guidance / RL flags (generate_ligands.py:38-44)
+    p.add_argument("--optimize", type=int, default=0)
+    p.add_argument("--path", type=str, default=None,
+                   help="AdjustNet checkpoint to load")
+    p.add_argument("--path_save", type=str, default=None,
+                   help="AdjustNet checkpoint to save after RL update")
+    p.add_argument("--SVDD", type=int, default=0)
+    p.add_argument("--SPSA", type=int, default=0)
+    return p
+
+
+def load_model(args):
+    import dataclasses as dc
+
+    import jax
+
+    from diffndm_tpu.config import (ATPConfig, ModelConfig, RLConfig,
+                                    SampleConfig, SPSAConfig)
+    from diffndm_tpu.model import DiffNDM
+
+    sample_cfg = SampleConfig(
+        n_samples=args.n_samples,
+        spsa=SPSAConfig(enabled=bool(args.SPSA)),
+        atp=ATPConfig(enabled=bool(args.SVDD)),
+        rl=RLConfig(enabled=bool(args.optimize),
+                    train=bool(args.path_save)))
+    if args.config:
+        model = DiffNDM.from_yaml(args.config, sample_cfg=sample_cfg)
+    else:
+        model = DiffNDM(ModelConfig(), sample_cfg=sample_cfg,
+                        key=jax.random.PRNGKey(args.seed))
+    ckpt = Path(args.checkpoint)
+    if ckpt.suffix == ".ckpt":
+        model.load_reference_checkpoint(str(ckpt))
+    elif ckpt.exists():
+        model.load_checkpoint(str(ckpt))
+    else:
+        print(f"[warn] checkpoint {ckpt} not found - using random init")
+    if args.optimize or args.path:
+        adj = model.ensure_adjust()
+        if args.path:
+            adj.load(args.path)
+    return model
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import numpy as np
+
+    from diffndm_tpu.chem.io import write_sdf
+
+    model = load_model(args)
+    num_nodes = (np.full((args.n_samples,), args.num_nodes_lig)
+                 if args.num_nodes_lig else None)
+    mols, result = model.generate_ligands(
+        args.pdbfile, args.n_samples, args.ref_ligand,
+        key=jax.random.PRNGKey(args.seed), timesteps=args.timesteps,
+        num_nodes_lig=num_nodes, optimize=bool(args.optimize),
+        train_rl=bool(args.path_save), sanitize=args.sanitize,
+        largest_frag=args.all_frags is False and args.sanitize,
+        relax_iter=(200 if args.relax else 0))
+    if args.path_save:
+        model.adjust_state.save(args.path_save)
+        print(f"saved AdjustNet checkpoint to {args.path_save}")
+    write_sdf(args.outfile, mols)
+    n_ok = sum(m is not None for m in mols)
+    print(f"wrote {n_ok}/{len(mols)} molecules to {args.outfile}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Test-set sweep: generate for many pockets in ONE process.
+
+Replaces the reference's per-pocket subprocess spawning (my_test.py:90,
+test.py:81-176) — the jitted sampler is compiled once per shape bucket and
+reused across pockets; per-pocket wall time and sec/mol are recorded like
+test.py:151-176, with the same retry + oversample-until-valid policy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("checkpoint", type=str)
+    p.add_argument("--test_dir", type=str, required=True,
+                   help="dir of <name>.pdb + <name>.sdf pairs")
+    p.add_argument("--outdir", type=str, required=True)
+    p.add_argument("--n_samples", type=int, default=20)
+    p.add_argument("--timesteps", type=int, default=None)
+    p.add_argument("--max_pockets", type=int, default=100)
+    p.add_argument("--sanitize", action="store_true")
+    p.add_argument("--oversample_maxiter", type=int, default=10,
+                   help="regenerate until n_samples valid (test.py:102-135)")
+    p.add_argument("--max_tries", type=int, default=10)
+    p.add_argument("--SVDD", type=int, default=0)
+    p.add_argument("--SPSA", type=int, default=0)
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from diffndm_tpu.chem.io import write_sdf
+    from diffndm_tpu.chem.sanitize import is_valid
+    from diffndm_tpu.cli.generate import load_model
+
+    args.optimize = 0
+    args.path = args.path_save = None
+    model = load_model(args)
+    os.makedirs(args.outdir, exist_ok=True)
+
+    pdbs = sorted(f for f in os.listdir(args.test_dir)
+                  if f.endswith(".pdb"))[: args.max_pockets]
+    key = jax.random.PRNGKey(args.seed)
+    times = []
+    for pdb in pdbs:
+        name = pdb[:-4]
+        sdf = os.path.join(args.test_dir, name + ".sdf")
+        if not os.path.exists(sdf):
+            cands = [f for f in os.listdir(args.test_dir)
+                     if f.startswith(name) and f.endswith(".sdf")]
+            if not cands:
+                continue
+            sdf = os.path.join(args.test_dir, cands[0])
+        t0 = time.time()
+        valid_mols = []
+        for attempt in range(args.max_tries):
+            try:
+                for _ in range(args.oversample_maxiter):
+                    key, k = jax.random.split(key)
+                    mols, _ = model.generate_ligands(
+                        os.path.join(args.test_dir, pdb),
+                        args.n_samples, sdf, key=k,
+                        timesteps=args.timesteps, sanitize=args.sanitize)
+                    valid_mols += [m for m in mols
+                                   if m is not None and is_valid(m)]
+                    if len(valid_mols) >= args.n_samples:
+                        break
+                break
+            except Exception as e:  # retry policy, test.py:81-168
+                print(f"[retry {attempt}] {name}: {e}")
+        dt = time.time() - t0
+        times.append(dt)
+        out = os.path.join(args.outdir, f"{name}_gen.sdf")
+        write_sdf(out, valid_mols[: args.n_samples])
+        print(f"{name}: {len(valid_mols)} valid in {dt:.1f}s "
+              f"({dt / max(len(valid_mols), 1):.2f} s/mol)")
+    with open(os.path.join(args.outdir, "pocket_times.txt"), "w") as f:
+        for pdb, dt in zip(pdbs, times):
+            f.write(f"{pdb} {dt:.2f}\n")
+        if times:
+            f.write(f"mean {sum(times) / len(times):.2f}\n")
+
+
+if __name__ == "__main__":
+    main()

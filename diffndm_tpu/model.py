@@ -1,0 +1,196 @@
+"""DiffNDM: the high-level ligand-pocket diffusion model API.
+
+Equivalent of the reference ``LigandPocketDDPM`` Lightning module
+(lightning_modules.py:32-934) without the framework: construction from
+config, pocket preparation from PDB, conditional generation, inpainting,
+diversification, RL-guided generation, checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffndm_tpu.config import (ModelConfig, RLConfig, SampleConfig,
+                                model_config_from_yaml)
+from diffndm_tpu.constants import dataset_params
+from diffndm_tpu.chem.bonds import build_molecule
+from diffndm_tpu.chem.sanitize import process_molecule
+from diffndm_tpu.data.pdb import parse_pdb
+from diffndm_tpu.data.pocket import get_pocket_from_ligand, prepare_pocket
+from diffndm_tpu.diffusion import schedules as S
+from diffndm_tpu.diffusion.core import CondDiffusion
+from diffndm_tpu.diffusion.diversify import DiversifySampler
+from diffndm_tpu.diffusion.inpaint import InpaintSampler
+from diffndm_tpu.diffusion.node_distribution import (DistributionNodes,
+                                                     default_histogram)
+from diffndm_tpu.diffusion.sampler import ConditionalSampler, SampleResult
+from diffndm_tpu.guidance.oracle import RewardOracle
+from diffndm_tpu.models.adjust_net import AdjustNetState
+from diffndm_tpu.models.dynamics import EGNNDynamics
+from diffndm_tpu.structs import NodeBatch, to_lists
+
+
+class DiffNDM:
+    def __init__(self, model_cfg: ModelConfig,
+                 sample_cfg: Optional[SampleConfig] = None,
+                 size_histogram: Optional[np.ndarray] = None,
+                 params=None, key: Optional[jax.Array] = None):
+        self.cfg = model_cfg
+        self.sample_cfg = sample_cfg or SampleConfig()
+        self.dataset_info = dataset_params[model_cfg.dataset]
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        self.module = EGNNDynamics(model_cfg.egnn,
+                                   atom_nf=model_cfg.atom_nf,
+                                   residue_nf=model_cfg.residue_nf)
+        if params is None:
+            nl, npk = 8, 16
+            params = self.module.init(
+                key,
+                jnp.zeros((1, nl, 3 + model_cfg.atom_nf)),
+                jnp.zeros((1, npk, 3 + model_cfg.residue_nf)),
+                jnp.zeros((1,)), jnp.ones((1, nl)), jnp.ones((1, npk)))
+        self.params = params
+
+        d = model_cfg.diffusion
+        schedule = S.make_schedule(d.noise_schedule, d.timesteps,
+                                   d.noise_precision)
+        if d.noise_schedule != "learned":
+            S.check_norm_values(schedule, d.norm_values[1])
+        self.core = CondDiffusion(schedule, d, atom_nf=model_cfg.atom_nf,
+                                  residue_nf=model_cfg.residue_nf)
+
+        hist = (size_histogram if size_histogram is not None
+                else default_histogram())
+        self.size_distribution = DistributionNodes(hist)
+
+        self.oracle = RewardOracle(self.dataset_info)
+        self.sampler = ConditionalSampler(
+            self.core, self.module, self.params, self.sample_cfg,
+            self.dataset_info, oracle=self.oracle)
+        self.inpaint_sampler = InpaintSampler(
+            self.core, self.module, self.params, self.sample_cfg,
+            self.dataset_info, oracle=self.oracle)
+        self.diversify_sampler = DiversifySampler(self.core, self.module,
+                                                  self.params)
+        self.adjust_state: Optional[AdjustNetState] = None
+
+    # -----------------------------------------------------------------
+    @classmethod
+    def from_yaml(cls, path: str, **kw) -> "DiffNDM":
+        from diffndm_tpu.config import load_yaml
+
+        return cls(model_config_from_yaml(load_yaml(path)), **kw)
+
+    def set_params(self, params) -> None:
+        self.params = params
+        for s in (self.sampler, self.inpaint_sampler,
+                  self.diversify_sampler):
+            s.params = params
+
+    def ensure_adjust(self, rl_cfg: Optional[RLConfig] = None
+                      ) -> AdjustNetState:
+        if self.adjust_state is None:
+            rl_cfg = rl_cfg or RLConfig(
+                input_dim=3 + self.cfg.atom_nf)
+            self.adjust_state = AdjustNetState(rl_cfg)
+            self.sampler.adjust_module = self.adjust_state.module
+        return self.adjust_state
+
+    # -----------------------------------------------------------------
+    def pocket_from_pdb(self, pdb_file: str, ref_ligand: str,
+                        n_samples: int, dist_cutoff: float = 8.0
+                        ) -> NodeBatch:
+        """(lightning_modules.py:843-852 + prepare_pocket :763-801)"""
+        structure = parse_pdb(pdb_file)
+        residues = get_pocket_from_ligand(structure, ref_ligand,
+                                          dist_cutoff)
+        encoder = (self.dataset_info["aa_encoder"]
+                   if self.cfg.pocket_representation == "CA"
+                   else self.dataset_info["atom_encoder"])
+        # drop padding type columns to match the model feature size
+        enc = {k: v for k, v in encoder.items() if v < self.cfg.residue_nf}
+        return prepare_pocket(residues, enc,
+                              self.cfg.pocket_representation,
+                              repeats=n_samples,
+                              pad_multiple=self.sample_cfg.pocket_pad_multiple)
+
+    def sample_ligand_sizes(self, key, pocket: NodeBatch) -> np.ndarray:
+        """N_lig ~ p(N_lig | N_pocket) (lightning_modules.py:861-862)."""
+        n_pocket = np.asarray(pocket.size).astype(int)
+        n_pocket = np.clip(n_pocket, 0,
+                           self.size_distribution.prob.shape[1] - 1)
+        sizes = self.size_distribution.sample_conditional(
+            key, n2=jnp.asarray(n_pocket))
+        return np.maximum(np.asarray(sizes), 2)
+
+    # -----------------------------------------------------------------
+    def generate_ligands(self, pdb_file: str, n_samples: int,
+                         ref_ligand: str, key=None,
+                         timesteps: Optional[int] = None,
+                         num_nodes_lig: Optional[np.ndarray] = None,
+                         optimize: bool = False, train_rl: bool = False,
+                         sanitize: bool = False, largest_frag: bool = False,
+                         relax_iter: int = 0):
+        """End-to-end generation for one pocket
+        (lightning_modules.py:803-934). Returns a list of Molecules."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k_size, k_sample = jax.random.split(key)
+        pocket = self.pocket_from_pdb(pdb_file, ref_ligand, n_samples)
+        if num_nodes_lig is None:
+            num_nodes_lig = self.sample_ligand_sizes(k_size, pocket)
+        adjust_params = None
+        if optimize or train_rl:
+            adjust_params = self.ensure_adjust().params
+        result = self.sampler.sample_given_pocket(
+            k_sample, pocket, num_nodes_lig, timesteps=timesteps,
+            adjust_params=adjust_params, optimize=optimize,
+            collect_rl=train_rl)
+        if train_rl:
+            loss, gnorm, reward = self.sampler.rl_update(
+                self.adjust_state, result, pocket)
+        mols = self.result_to_molecules(result, sanitize=sanitize,
+                                        largest_frag=largest_frag,
+                                        relax_iter=relax_iter)
+        return mols, result
+
+    def result_to_molecules(self, result: SampleResult, sanitize=False,
+                            largest_frag=False, relax_iter=0):
+        mols = []
+        for coords, types in to_lists(result.ligand):
+            mol = build_molecule(coords, types, self.dataset_info)
+            mol = process_molecule(mol, sanitize_flag=sanitize,
+                                   relax_iter=relax_iter,
+                                   largest_frag=largest_frag)
+            mols.append(mol)
+        return mols
+
+    # -- checkpointing -------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path),
+                   jax.device_get({"params": self.params}), force=True)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            jax.device_get({"params": self.params}))
+        self.set_params(restored["params"])
+
+    def load_reference_checkpoint(self, path: str) -> None:
+        """Load a reference PyTorch-Lightning .ckpt (torch state dict)."""
+        from diffndm_tpu.convert import load_reference_checkpoint
+
+        self.set_params(load_reference_checkpoint(path, self.cfg,
+                                                  self.params))
