@@ -18,8 +18,8 @@ import numpy as np
 from diffndm_tpu.config import TrainConfig
 from diffndm_tpu.diffusion import schedules as S
 from diffndm_tpu.diffusion.core import CondDiffusion, _b11
-from diffndm_tpu.ops.segment import (masked_mean, remove_mean_ligand,
-                                     sum_except_batch)
+from diffndm_tpu.ops.segment import (masked_mean, remove_mean_joint,
+                                     remove_mean_ligand, sum_except_batch)
 from diffndm_tpu.structs import NodeBatch
 
 
@@ -97,6 +97,95 @@ def conditional_loss_terms(key, core: CondDiffusion, eps_fn,
         "kl_prior": kl_prior,
         "t_int": t_int,
         "xh_lig_hat": xh_lig_hat,
+    }
+
+
+def joint_loss_terms(key, core, eps_fn, ligand: NodeBatch,
+                     pocket: NodeBatch, training: bool
+                     ) -> Dict[str, jnp.ndarray]:
+    """Joint-model NLL terms (en_diffusion.py:339-472): both parts noised
+    in the joint zero-COM subspace, pocket error included, joint KL prior.
+    ``core`` is a diffusion.joint.JointDiffusion."""
+    from diffndm_tpu.diffusion.joint import JointDiffusion  # noqa: F401
+
+    k_t, k_noise, k_noise0 = jax.random.split(key, 3)
+    b = ligand.x.shape[0]
+    T = core.schedule.timesteps
+    lm, pm = ligand.mask, pocket.mask
+    joint_size = ligand.size + pocket.size
+
+    xh0_lig = core.normalize_xh(ligand.xh, lm, core.atom_nf)
+    xh0_poc = core.normalize_xh(pocket.xh, pm, core.residue_nf)
+    lx, px = remove_mean_joint(xh0_lig[..., :3], xh0_poc[..., :3], lm, pm)
+    xh0_lig = jnp.concatenate([lx, xh0_lig[..., 3:]], -1)
+    xh0_poc = jnp.concatenate([px, xh0_poc[..., 3:]], -1)
+
+    subspace = (joint_size - 1) * 3.0
+    delta_log_px = -subspace * jnp.log(jnp.asarray(core.cfg.norm_values[0]))
+
+    lowest_t = 0 if training else 1
+    t_int = jax.random.randint(k_t, (b,), lowest_t, T + 1).astype(
+        jnp.float32)
+    t_is_zero = (t_int == 0).astype(jnp.float32)
+    gamma_s = core.schedule((t_int - 1) / T)
+    gamma_t = core.schedule(t_int / T)
+
+    z_l, z_p, eps_l, eps_p = core.noised_representation(
+        k_noise, xh0_lig, xh0_poc, lm, pm, gamma_t)
+    net_l, net_p = eps_fn(z_l, z_p, t_int / T, lm, pm)
+
+    error_t_lig = sum_except_batch((eps_l - net_l) ** 2, lm)
+    error_t_pocket = sum_except_batch((eps_p - net_p) ** 2, pm)
+    snr_weight = 1.0 - S.snr(gamma_s - gamma_t)
+
+    gamma_0s = core.schedule(jnp.zeros(()))
+    neg_log_constants = -subspace * (-0.5 * gamma_0s
+                                     - 0.5 * jnp.log(2 * jnp.pi))
+
+    # joint KL prior (en_diffusion.py:110-156)
+    gamma_T = core.schedule(jnp.ones((b,)))
+    alpha_T = _b11(S.alpha(gamma_T))
+    sigma_T = S.sigma(gamma_T)
+    mu_l, mu_p = alpha_T * xh0_lig, alpha_T * xh0_poc
+    mu_h2 = sum_except_batch(mu_l[..., 3:] ** 2, lm) + \
+        sum_except_batch(mu_p[..., 3:] ** 2, pm)
+    mu_x2 = sum_except_batch(mu_l[..., :3] ** 2, lm) + \
+        sum_except_batch(mu_p[..., :3] ** 2, pm)
+
+    def gkl(mu2, q_sigma, d):
+        return (d * jnp.log(1.0 / q_sigma)
+                + 0.5 * (d * q_sigma ** 2 + mu2) - 0.5 * d)
+
+    kl_prior = gkl(mu_h2, sigma_T, 1.0) + gkl(mu_x2, sigma_T, subspace)
+
+    if training:
+        loss_0_x = -(-0.5 * sum_except_batch(
+            (eps_l[..., :3] - net_l[..., :3]) ** 2, lm)) * t_is_zero
+        loss_0_x_p = -(-0.5 * sum_except_batch(
+            (eps_p[..., :3] - net_p[..., :3]) ** 2, pm)) * t_is_zero
+        error_t_lig = error_t_lig * (1.0 - t_is_zero)
+        error_t_pocket = error_t_pocket * (1.0 - t_is_zero)
+    else:
+        gamma_0 = core.schedule(jnp.zeros((b,)))
+        z0_l, z0_p, e0_l, e0_p = core.noised_representation(
+            k_noise0, xh0_lig, xh0_poc, lm, pm, gamma_0)
+        n0_l, n0_p = eps_fn(z0_l, z0_p, jnp.zeros((b,)), lm, pm)
+        loss_0_x = 0.5 * sum_except_batch(
+            (e0_l[..., :3] - n0_l[..., :3]) ** 2, lm)
+        loss_0_x_p = 0.5 * sum_except_batch(
+            (e0_p[..., :3] - n0_p[..., :3]) ** 2, pm)
+
+    return {
+        "delta_log_px": delta_log_px,
+        "error_t_lig": error_t_lig,
+        "error_t_pocket": error_t_pocket,
+        "snr_weight": snr_weight,
+        "loss_0_x": loss_0_x,
+        "loss_0_x_pocket": loss_0_x_p,
+        "loss_0_h": jnp.zeros((b,)),
+        "neg_log_constants": neg_log_constants,
+        "kl_prior": kl_prior,
+        "t_int": t_int,
     }
 
 
