@@ -1,0 +1,101 @@
+"""Docking-score wrappers (smina / qvina2).
+
+Equivalent of analysis/docking.py:18-197.  The binaries are external tools
+not shipped with this environment; every entry point probes for them and
+raises a clear DockingUnavailable error when absent so callers can gate
+docking metrics (the reference's eval does the same implicitly by crashing,
+lightning_modules.py:530-532).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import subprocess
+import tempfile
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+class DockingUnavailable(RuntimeError):
+    pass
+
+
+def _require(binary: str) -> str:
+    path = shutil.which(binary)
+    if path is None:
+        raise DockingUnavailable(
+            f"{binary} binary not found on PATH; docking metrics are "
+            f"disabled in this environment")
+    return path
+
+
+def smina_score(rdmol_sdf_paths: Sequence[str], receptor_file: str
+                ) -> List[float]:
+    """smina --score_only affinity per ligand (docking.py:18-50)."""
+    smina = _require("smina")
+    scores = []
+    for sdf in rdmol_sdf_paths:
+        out = subprocess.run(
+            [smina, "-l", sdf, "-r", receptor_file, "--score_only"],
+            capture_output=True, text=True, check=False)
+        matches = re.findall(r"Affinity:\s*(-?\d+(?:\.\d+)?)", out.stdout)
+        scores.append(float(matches[0]) if matches else float("nan"))
+    return scores
+
+
+def sdf_to_pdbqt(sdf_file: str, pdbqt_outfile: str) -> str:
+    """obabel conversion (docking.py:53-60)."""
+    obabel = _require("obabel")
+    subprocess.run([obabel, sdf_file, "-O", pdbqt_outfile,
+                    "-f", "1", "-l", "1"], check=True,
+                   capture_output=True)
+    return pdbqt_outfile
+
+
+def calculate_qvina2_score(receptor_file: str, sdf_file: str, out_dir: str,
+                           size: int = 20, exhaustiveness: int = 16,
+                           return_rdmol: bool = False) -> List[float]:
+    """Full qvina2 docking run: receptor pdbqt + ligand pdbqt, box centred
+    at the ligand COM (docking.py:53-130)."""
+    qvina = _require("qvina2.1") if shutil.which("qvina2.1") else \
+        _require("qvina2")
+    os.makedirs(out_dir, exist_ok=True)
+
+    receptor_pdbqt = receptor_file
+    if not receptor_file.endswith(".pdbqt"):
+        receptor_pdbqt = os.path.join(
+            out_dir, os.path.basename(receptor_file) + "qt")
+        if not os.path.exists(receptor_pdbqt):
+            _require("obabel")
+            subprocess.run(["obabel", receptor_file, "-O", receptor_pdbqt,
+                            "-xr"], check=True, capture_output=True)
+
+    from diffndm_tpu.chem.io import read_sdf
+
+    scores = []
+    for i, mol in enumerate(read_sdf(sdf_file)):
+        center = np.asarray(mol.coords).mean(0)
+        lig_pdbqt = os.path.join(out_dir, f"lig_{i}.pdbqt")
+        one_sdf = os.path.join(out_dir, f"lig_{i}.sdf")
+        from diffndm_tpu.chem.io import write_sdf
+
+        write_sdf(one_sdf, [mol])
+        sdf_to_pdbqt(one_sdf, lig_pdbqt)
+        out = subprocess.run(
+            [qvina, "--receptor", receptor_pdbqt, "--ligand", lig_pdbqt,
+             "--center_x", str(center[0]), "--center_y", str(center[1]),
+             "--center_z", str(center[2]), "--size_x", str(size),
+             "--size_y", str(size), "--size_z", str(size),
+             "--exhaustiveness", str(exhaustiveness)],
+            capture_output=True, text=True, check=False)
+        m = re.findall(r"^\s*1\s+(-?\d+\.\d+)", out.stdout, re.MULTILINE)
+        scores.append(float(m[0]) if m else float("nan"))
+    return scores
+
+
+def docking_available() -> bool:
+    return shutil.which("smina") is not None or \
+        shutil.which("qvina2") is not None

@@ -31,13 +31,25 @@ def _b11(v: jnp.ndarray) -> jnp.ndarray:
 
 
 class CondDiffusion(NamedTuple):
-    """Immutable bundle of schedule + normalization settings."""
+    """Immutable bundle of schedule + normalization settings.
+
+    simple=True selects the SimpleConditionalDDPM variant
+    (conditional_model.py:1807-1851): no zero-COM subspace projection,
+    full-dimensional likelihood, pocket COM pre-subtracted by the caller.
+    """
 
     schedule: GammaSchedule
     cfg: DiffusionConfig
     atom_nf: int
     residue_nf: int
     n_dims: int = 3
+    simple: bool = False
+
+    def _project(self, out_x, pocket_x, lig_mask, pocket_mask):
+        if self.simple:  # identity remove_mean (conditional_model.py:1822-1826)
+            return (out_x * lig_mask[..., None],
+                    pocket_x * pocket_mask[..., None])
+        return remove_mean_ligand(out_x, pocket_x, lig_mask, pocket_mask)
 
     # -- normalization (en_diffusion.py:885-917) ---------------------------
     def normalize_xh(self, xh: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -76,9 +88,9 @@ class CondDiffusion(NamedTuple):
         eps = jax.random.normal(key, xh_lig.shape, xh_lig.dtype)
         eps = eps * lig_mask[..., None]
         z_t = a * xh_lig + s * eps
-        zx, px = remove_mean_ligand(z_t[..., :self.n_dims],
-                                    xh_pocket[..., :self.n_dims],
-                                    lig_mask, pocket_mask)
+        zx, px = self._project(z_t[..., :self.n_dims],
+                               xh_pocket[..., :self.n_dims],
+                               lig_mask, pocket_mask)
         z_t = jnp.concatenate([zx, z_t[..., self.n_dims:]], -1)
         xh_pocket = jnp.concatenate([px, xh_pocket[..., self.n_dims:]], -1)
         return z_t, xh_pocket, eps
@@ -99,9 +111,9 @@ class CondDiffusion(NamedTuple):
         eps = eps * lig_mask[..., None]
         sigma = _b11(jnp.asarray(sigma).reshape(mu_lig.shape[0], -1)[:, 0])
         out = mu_lig + sigma * eps
-        ox, px = remove_mean_ligand(out[..., :self.n_dims],
-                                    xh_pocket[..., :self.n_dims],
-                                    lig_mask, pocket_mask)
+        ox, px = self._project(out[..., :self.n_dims],
+                               xh_pocket[..., :self.n_dims],
+                               lig_mask, pocket_mask)
         out = jnp.concatenate([ox, out[..., self.n_dims:]], -1)
         xh_pocket = jnp.concatenate([px, xh_pocket[..., self.n_dims:]], -1)
         return out, xh_pocket
@@ -207,6 +219,8 @@ class CondDiffusion(NamedTuple):
 
     # -- loss terms (conditional_model.py:44-134, :238-367) ----------------
     def subspace_dimensionality(self, num_nodes):
+        if self.simple:  # full-dimensional space (conditional_model.py:1818-1820)
+            return num_nodes * self.n_dims
         return (num_nodes - 1) * self.n_dims
 
     def kl_prior(self, xh_lig, lig_mask, num_nodes):

@@ -85,6 +85,11 @@ class ConditionalSampler:
             p_h = (pocket_h - bh) / nh
             p_x = p_x * pocket_mask[..., None]
             p_h = p_h * pocket_mask[..., None]
+            if core.simple:
+                # simple variant pre-subtracts the pocket COM
+                # (conditional_model.py:1846-1848)
+                com = masked_mean(p_x, pocket_mask, axis=1, keepdims=True)
+                p_x = (p_x - com) * pocket_mask[..., None]
 
             key, k_init = jax.random.split(key)
             z_lig, xh_pocket = init_ligand_from_pocket(

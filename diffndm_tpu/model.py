@@ -62,8 +62,10 @@ class DiffNDM:
                                    d.noise_precision)
         if d.noise_schedule != "learned":
             S.check_norm_values(schedule, d.norm_values[1])
-        self.core = CondDiffusion(schedule, d, atom_nf=model_cfg.atom_nf,
-                                  residue_nf=model_cfg.residue_nf)
+        self.core = CondDiffusion(
+            schedule, d, atom_nf=model_cfg.atom_nf,
+            residue_nf=model_cfg.residue_nf,
+            simple=(model_cfg.mode == "pocket_conditioning_simple"))
 
         hist = (size_histogram if size_histogram is not None
                 else default_histogram())
@@ -78,6 +80,16 @@ class DiffNDM:
             self.dataset_info, oracle=self.oracle)
         self.diversify_sampler = DiversifySampler(self.core, self.module,
                                                   self.params)
+        self.joint_sampler = None
+        if model_cfg.mode == "joint":
+            from diffndm_tpu.diffusion.joint import (JointDiffusion,
+                                                     JointSampler)
+
+            joint_core = JointDiffusion(schedule, d,
+                                        atom_nf=model_cfg.atom_nf,
+                                        residue_nf=model_cfg.residue_nf)
+            self.joint_sampler = JointSampler(joint_core, self.module,
+                                              self.params)
         self.adjust_state: Optional[AdjustNetState] = None
 
     # -----------------------------------------------------------------
@@ -89,8 +101,11 @@ class DiffNDM:
 
     def set_params(self, params) -> None:
         self.params = params
-        for s in (self.sampler, self.inpaint_sampler,
-                  self.diversify_sampler):
+        samplers = [self.sampler, self.inpaint_sampler,
+                    self.diversify_sampler]
+        if self.joint_sampler is not None:
+            samplers.append(self.joint_sampler)
+        for s in samplers:
             s.params = params
 
     def ensure_adjust(self, rl_cfg: Optional[RLConfig] = None

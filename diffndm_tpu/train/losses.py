@@ -48,9 +48,16 @@ def conditional_loss_terms(key, core: CondDiffusion, eps_fn,
     gamma_s = core.schedule(s_int / T)
     gamma_t = core.schedule(t_int / T)
 
-    # centre on ligand COM
-    lx, px = remove_mean_ligand(xh0_lig[..., :3], xh0_pocket[..., :3],
-                                lm, pm)
+    if core.simple:
+        # simple variant: subtract the pocket COM from both parts
+        # (conditional_model.py:1832-1837)
+        com = masked_mean(xh0_pocket[..., :3], pm, axis=1, keepdims=True)
+        lx = (xh0_lig[..., :3] - com) * lm[..., None]
+        px = (xh0_pocket[..., :3] - com) * pm[..., None]
+    else:
+        # centre on ligand COM
+        lx, px = remove_mean_ligand(xh0_lig[..., :3], xh0_pocket[..., :3],
+                                    lm, pm)
     xh0_lig = jnp.concatenate([lx, xh0_lig[..., 3:]], -1)
     xh0_pocket = jnp.concatenate([px, xh0_pocket[..., 3:]], -1)
 
