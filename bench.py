@@ -42,12 +42,13 @@ def main():
     NL = int(os.environ.get("BENCH_NL", 24))     # ligand nodes
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
+    neighbors = int(os.environ.get("BENCH_NEIGHBORS", 0)) or None
     cfg = EGNNConfig(hidden_nf=256, joint_nf=128, n_layers=6,
                      inv_sublayers=1, attention=True, tanh=True,
                      norm_constant=1.0, reflection_equivariant=False,
                      edge_cutoff_pocket=5.0, edge_cutoff_interaction=5.0,
                      row_tile=int(os.environ.get("BENCH_ROW_TILE", 64)),
-                     compute_dtype=dtype)
+                     compute_dtype=dtype, neighbors=neighbors)
     module = EGNNDynamics(cfg, atom_nf=atom_nf, residue_nf=atom_nf)
     key = jax.random.PRNGKey(0)
     params = module.init(key, jnp.zeros((1, NL, 13)),

@@ -39,6 +39,9 @@ class EGNNConfig:
     # TPU-specific: nodes processed per message-passing row tile.
     row_tile: int = 64
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # Fixed-K nearest-neighbour lists instead of dense N columns (exact as
+    # long as every node has <= K edges under the cutoffs); None = dense.
+    neighbors: Optional[int] = None
 
 
 @dataclass(frozen=True)

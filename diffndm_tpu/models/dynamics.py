@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 
 from diffndm_tpu.config import EGNNConfig
-from diffndm_tpu.models.egnn import EGNN, GNN
+from diffndm_tpu.models.egnn import EGNN, GNN, _take_rows, \
+    build_neighbor_lists
 from diffndm_tpu.ops.segment import masked_mean
 
 
@@ -119,6 +120,18 @@ class EGNNDynamics(nn.Module):
                 emb(etype)[None], (h.shape[0],) + etype.shape
                 + (cfg.edge_embedding_dim,))
 
+        # optional fixed-K neighbour lists (TPU fast path; see
+        # egnn.build_neighbor_lists)
+        nbr_idx = None
+        if cfg.neighbors is not None and cfg.neighbors < adj.shape[-1]:
+            is_lig = jnp.concatenate(
+                [jnp.ones((nl,)), jnp.zeros((x_poc.shape[1],))])
+            nbr_idx, adj = build_neighbor_lists(x, adj, is_lig,
+                                                cfg.neighbors)
+            if edge_attr is not None:
+                edge_attr = jnp.take_along_axis(
+                    edge_attr, nbr_idx[..., None], axis=2)
+
         if cfg.mode == "egnn_dynamics":
             update_coords_mask = None
             if not cfg.update_pocket_coords:
@@ -130,7 +143,7 @@ class EGNNDynamics(nn.Module):
                         in_edge_nf=cfg.edge_embedding_dim or 0, name="egnn")
             h_final, x_final = egnn(h, x, adj, mask,
                                     update_coords_mask=update_coords_mask,
-                                    edge_attr=edge_attr)
+                                    edge_attr=edge_attr, nbr_idx=nbr_idx)
             vel = (x_final - x) * mask[..., None]
         elif cfg.mode == "gnn_dynamics":
             gnn = GNN(cfg, in_node_nf=h.shape[-1] + self.n_dims,

@@ -4,25 +4,30 @@ Functional parity with the reference EGNN stack (egnn_new.py:6-335) but
 designed for the TPU memory system rather than translated from it:
 
 - The flat edge list + ``unsorted_segment_sum`` scatter (egnn_new.py:319-335)
-  becomes **masked dense message passing** over ``[B, N, N]`` adjacency.
-  Aggregation is a plain masked sum over the neighbour axis, which XLA lowers
-  to fused reductions — no scatters.
-- The first edge-MLP layer is algebraically split: ``W @ [h_i; h_j; e_ij] =
-  W_src h_i + W_dst h_j + W_e e_ij``, so the two O(N) projections run once
-  per node on the MXU and only the cheap broadcast-add is O(N^2).
-- The O(N^2 * H) message tensor is never fully materialized in HBM: rows are
-  processed in tiles of ``row_tile`` nodes via ``lax.scan``, bounding peak
-  memory at ``B * row_tile * N * H``.
+  becomes masked message passing with two interchangeable column providers:
+
+  * **dense**: all N columns per row tile ([B, T, N, H] blocks) — exact;
+  * **gathered**: a fixed-K nearest-neighbour list per node
+    (``EGNNConfig.neighbors``) built once per forward with ``lax.top_k``
+    over a biased score that ranks real edges (and all ligand-ligand
+    pairs) first — ~N/K times less edge compute, exact whenever every
+    node has <= K edges (true for the 5 A cutoffs at protein density
+    with K >= ~96).
+
+- The first edge-MLP layer is algebraically split: ``W @ [h_i; h_j; e_ij]
+  = W_src h_i + W_dst h_j + W_e e_ij`` — the O(N) projections run once per
+  node on the MXU and only the cheap broadcast-add is O(N*K).
+- Rows are processed in tiles of ``row_tile`` nodes via ``lax.scan``,
+  bounding peak memory at ``B * row_tile * K * H``.
 
 Layer weights are explicit ``self.param`` arrays (not nested flax modules)
-so the inner tile loop is pure jnp — scan-safe and easy to map onto a Pallas
-kernel later.
+so the inner tile loop is pure jnp — scan-safe.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Callable, NamedTuple, Optional
 
 import flax.linen as nn
 import jax
@@ -34,29 +39,18 @@ _default_init = nn.initializers.lecun_normal()
 _zeros = nn.initializers.zeros
 
 
-def coord_diff(x_rows: jnp.ndarray, x: jnp.ndarray, norm_constant: float):
-    """Pairwise squared distances and normalized difference vectors
+def coord_diff(x_rows: jnp.ndarray, x_cols: jnp.ndarray,
+               norm_constant: float):
+    """Squared distances and normalized difference vectors
     (cf. egnn_new.py:296-302).
 
-    x_rows: [B, T, 3] (row tile), x: [B, N, 3]
-    returns radial [B, T, N, 1], diff [B, T, N, 3]
+    x_rows: [B, T, 1 or K, 3] vs x_cols: [B, 1 or T, N or K, 3]
+    returns radial [..., 1], diff [..., 3]
     """
-    d = x_rows[:, :, None, :] - x[:, None, :, :]
+    d = x_rows - x_cols
     radial = jnp.sum(d * d, axis=-1, keepdims=True)
     norm = jnp.sqrt(radial + 1e-8)
     return radial, d / (norm + norm_constant)
-
-
-def coord_cross(x_rows: jnp.ndarray, x: jnp.ndarray, center: jnp.ndarray,
-                norm_constant: float):
-    """Pairwise cross products relative to the per-sample joint centre of
-    mass (cf. egnn_new.py:305-316). Breaks reflection equivariance on
-    purpose (reflection_equivariant: False in the crossdock config)."""
-    a = x_rows - center  # [B, T, 3]
-    b = x - center       # [B, N, 3]
-    cross = jnp.cross(a[:, :, None, :], b[:, None, :, :])
-    norm = jnp.linalg.norm(cross, axis=-1, keepdims=True)
-    return cross / (norm + norm_constant)
 
 
 def sinusoid_dims(max_res: float = 15.0, min_res: float = 15.0 / 2000.0,
@@ -95,6 +89,91 @@ def _linear(params, x):
     return y
 
 
+def _take_rows(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """arr [B, N, F], idx [B, T, K] -> [B, T, K, F] (per-batch gather)."""
+    return jnp.take_along_axis(arr[:, None, :, :], idx[..., None], axis=2)
+
+
+class EdgeContext(NamedTuple):
+    """Per-block column provider shared by GCL and EquivariantUpdate.
+
+    cols(arr, i0): node array [B, N, F] -> per-row-tile column block
+        ([B, 1, N, F] dense or [B, T, K, F] gathered).
+    adj_rows(i0): edge mask rows [B, T, Ncols].
+    edge_attr(i0): edge features [B, T, Ncols, E].
+    x_cols(i0): column coordinates [B, 1 or T, Ncols, 3].
+    """
+
+    cols: Callable
+    adj_rows: Callable
+    edge_attr: Callable
+    x_cols: Callable
+    tile: int
+    n_tiles: int
+    n_pad: int
+
+
+def make_edge_context(cfg: EGNNConfig, x: jnp.ndarray, adj: jnp.ndarray,
+                      edge_attr0: jnp.ndarray,
+                      nbr_idx: Optional[jnp.ndarray]) -> EdgeContext:
+    """Build the column provider. adj is [B, N, N] dense or [B, N, K]
+    gathered; edge_attr0 likewise [B, N, {N|K}, E]."""
+    n = x.shape[1]
+    tile, n_tiles, n_pad = _tiling(n, cfg.row_tile)
+    x_p = _pad_rows(x, n_pad)
+    adj_p = _pad_rows(adj, n_pad)
+    e0_p = _pad_rows(edge_attr0, n_pad)
+
+    if nbr_idx is None:
+        def cols(arr, i0):
+            return arr[:, None, :, :]
+
+        def x_cols(i0):
+            return x[:, None, :, :]
+    else:
+        idx_p = _pad_rows(nbr_idx, n_pad)
+
+        def cols(arr, i0):
+            idx = jax.lax.dynamic_slice_in_dim(idx_p, i0, tile, 1)
+            return _take_rows(arr, idx)
+
+        def x_cols(i0):
+            idx = jax.lax.dynamic_slice_in_dim(idx_p, i0, tile, 1)
+            return _take_rows(x, idx)
+
+    def adj_rows(i0):
+        return jax.lax.dynamic_slice_in_dim(adj_p, i0, tile, 1)
+
+    def edge_attr(i0):
+        x_rows = jax.lax.dynamic_slice_in_dim(x_p, i0, tile, 1)
+        radial, _ = coord_diff(x_rows[:, :, None, :], x_cols(i0),
+                               cfg.norm_constant)
+        if cfg.sin_embedding:
+            radial = sinusoid_embed(radial[..., 0])
+        e0 = jax.lax.dynamic_slice_in_dim(e0_p, i0, tile, 1)
+        return jnp.concatenate([radial, e0], axis=-1)
+
+    return EdgeContext(cols, adj_rows, edge_attr, x_cols, tile, n_tiles,
+                       n_pad)
+
+
+def build_neighbor_lists(x: jnp.ndarray, adj: jnp.ndarray,
+                         is_ligand: jnp.ndarray, k: int):
+    """Fixed-K neighbour lists: top-k of a score that ranks (1) real edges
+    over non-edges and (2) closer atoms first, with ligand-ligand pairs
+    boosted so the complete ligand clique always fits (the reference keeps
+    ligand-ligand edges regardless of distance, dynamics.py:169-187).
+
+    Returns (nbr_idx [B, N, K], adj_nbr [B, N, K])."""
+    d2 = jnp.sum((x[:, :, None, :] - x[:, None, :, :]) ** 2, axis=-1)
+    ll = is_ligand[:, None] * is_ligand[None, :]
+    score = -d2 + 1e7 * adj + 1e7 * ll[None]
+    k = min(k, x.shape[1])
+    _, idx = jax.lax.top_k(score, k)  # [B, N, K]
+    adj_nbr = jnp.take_along_axis(adj, idx, axis=2)
+    return idx, adj_nbr
+
+
 class GCL(nn.Module):
     """Graph convolution layer: edge MLP + sigmoid attention + masked-sum
     aggregation + residual node MLP (cf. egnn_new.py:6-66)."""
@@ -109,9 +188,7 @@ class GCL(nn.Module):
         return p
 
     @nn.compact
-    def __call__(self, h, edge_attr_fn, adj, node_mask):
-        """h: [B, N, H]; edge_attr_fn(i0, tile) -> [B, T, N, E];
-        adj: [B, N, N] float edge mask. Returns updated h."""
+    def __call__(self, h, ctx: EdgeContext, node_mask):
         cfg = self.cfg
         H = cfg.hidden_nf
         dt = jnp.dtype(cfg.compute_dtype)
@@ -128,19 +205,19 @@ class GCL(nn.Module):
         b = _linear(w_dst, h.astype(dt))
 
         n = h.shape[1]
-        tile, n_tiles, n_pad = _tiling(n, cfg.row_tile)
+        tile, n_tiles, n_pad = ctx.tile, ctx.n_tiles, ctx.n_pad
         a_p = _pad_rows(a, n_pad)
-        adj_p = _pad_rows(adj, n_pad)
 
         def body(_, i0):
             a_rows = jax.lax.dynamic_slice_in_dim(a_p, i0, tile, 1)
-            e = edge_attr_fn(i0, tile).astype(dt)
-            m = jax.nn.silu(a_rows[:, :, None, :] + b[:, None, :, :]
+            e = ctx.edge_attr(i0).astype(dt)
+            b_cols = ctx.cols(b, i0)
+            m = jax.nn.silu(a_rows[:, :, None, :] + b_cols
                             + _linear(w_edg, e))
             m = jax.nn.silu(_linear(w_l2, m))
             if w_att is not None:
                 m = m * jax.nn.sigmoid(_linear(w_att, m))
-            adj_rows = jax.lax.dynamic_slice_in_dim(adj_p, i0, tile, 1)
+            adj_rows = ctx.adj_rows(i0)
             agg = jnp.sum(m * adj_rows[..., None].astype(dt), axis=2)
             return None, agg
 
@@ -150,7 +227,9 @@ class GCL(nn.Module):
         if cfg.aggregation_method == "sum":
             agg = agg / jnp.asarray(cfg.normalization_factor, dt)
         else:  # mean over actual neighbours
-            deg = jnp.sum(adj, axis=2, keepdims=True)
+            deg = jnp.sum(jnp.concatenate(
+                [ctx.adj_rows(i * tile) for i in range(n_tiles)],
+                axis=1)[:, :n], axis=2, keepdims=True)
             agg = agg / jnp.maximum(deg, 1.0).astype(dt)
 
         out = jax.nn.silu(_linear(
@@ -173,7 +252,7 @@ class EquivariantUpdate(nn.Module):
         return p
 
     @nn.compact
-    def __call__(self, h, x, edge_attr_fn, adj, node_mask,
+    def __call__(self, h, x, ctx: EdgeContext, node_mask,
                  update_coords_mask):
         cfg = self.cfg
         # per-sample joint centre of mass of the *current* coordinates for
@@ -211,10 +290,9 @@ class EquivariantUpdate(nn.Module):
             bc = _linear(w_cdst, h.astype(dt))
 
         n = h.shape[1]
-        tile, n_tiles, n_pad = _tiling(n, cfg.row_tile)
+        tile, n_tiles, n_pad = ctx.tile, ctx.n_tiles, ctx.n_pad
         a_p = _pad_rows(a, n_pad)
         x_p = _pad_rows(x, n_pad)
-        adj_p = _pad_rows(adj, n_pad)
         ac_p = _pad_rows(ac, n_pad) if cross_tail is not None else None
 
         def tail(tail_params, z):
@@ -223,12 +301,13 @@ class EquivariantUpdate(nn.Module):
 
         def body(_, i0):
             x_rows = jax.lax.dynamic_slice_in_dim(x_p, i0, tile, 1)
-            e = edge_attr_fn(i0, tile).astype(dt)
+            x_cols = ctx.x_cols(i0).astype(dt)
+            e = ctx.edge_attr(i0).astype(dt)
             a_rows = jax.lax.dynamic_slice_in_dim(a_p, i0, tile, 1)
-            z = jax.nn.silu(a_rows[:, :, None, :] + b[:, None, :, :]
+            z = jax.nn.silu(a_rows[:, :, None, :] + ctx.cols(b, i0)
                             + _linear(w_edg, e))
             phi = tail(coord_tail, z)
-            _, diff = coord_diff(x_rows.astype(dt), x.astype(dt),
+            _, diff = coord_diff(x_rows[:, :, None, :].astype(dt), x_cols,
                                  cfg.norm_constant)
             if cfg.tanh:
                 trans = diff * jnp.tanh(phi) * self.coords_range
@@ -236,15 +315,19 @@ class EquivariantUpdate(nn.Module):
                 trans = diff * phi
             if cross_tail is not None:
                 ac_rows = jax.lax.dynamic_slice_in_dim(ac_p, i0, tile, 1)
-                zc = jax.nn.silu(ac_rows[:, :, None, :] + bc[:, None, :, :]
+                zc = jax.nn.silu(ac_rows[:, :, None, :] + ctx.cols(bc, i0)
                                  + _linear(w_cedg, e))
                 phi_c = tail(cross_tail, zc)
                 if cfg.tanh:
                     phi_c = jnp.tanh(phi_c) * self.coords_range
-                cr = coord_cross(x_rows.astype(dt), x.astype(dt),
-                                 joint_center.astype(dt), cfg.norm_constant)
+                ctr = joint_center[:, :, None, :].astype(dt)
+                va = x_rows[:, :, None, :].astype(dt) - ctr
+                vb = x_cols - ctr
+                cr = jnp.cross(va, vb)
+                norm = jnp.linalg.norm(cr, axis=-1, keepdims=True)
+                cr = cr / (norm + cfg.norm_constant)
                 trans = trans + cr * phi_c
-            adj_rows = jax.lax.dynamic_slice_in_dim(adj_p, i0, tile, 1)
+            adj_rows = ctx.adj_rows(i0)
             agg = jnp.sum(trans * adj_rows[..., None].astype(dt), axis=2)
             return None, agg
 
@@ -254,7 +337,9 @@ class EquivariantUpdate(nn.Module):
         if cfg.aggregation_method == "sum":
             agg = agg / jnp.asarray(cfg.normalization_factor, dt)
         else:
-            deg = jnp.sum(adj, axis=2, keepdims=True)
+            deg = jnp.sum(jnp.concatenate(
+                [ctx.adj_rows(i * tile) for i in range(n_tiles)],
+                axis=1)[:, :n], axis=2, keepdims=True)
             agg = agg / jnp.maximum(deg, 1.0).astype(dt)
         if update_coords_mask is not None:
             agg = agg * update_coords_mask.astype(dt)
@@ -270,27 +355,15 @@ class EquivariantBlock(nn.Module):
     coords_range: float
 
     @nn.compact
-    def __call__(self, h, x, adj, node_mask, edge_attr0, update_coords_mask):
-        cfg = self.cfg
-        n = x.shape[1]
-        tile0, _, n_pad = _tiling(n, cfg.row_tile)
-        x_p = _pad_rows(x, n_pad)
-        e0_p = _pad_rows(edge_attr0, n_pad)
-
-        def edge_attr_fn(i0, tile):
-            x_rows = jax.lax.dynamic_slice_in_dim(x_p, i0, tile, 1)
-            radial, _ = coord_diff(x_rows, x, cfg.norm_constant)
-            if cfg.sin_embedding:
-                radial = sinusoid_embed(radial[..., 0])
-            e0 = jax.lax.dynamic_slice_in_dim(e0_p, i0, tile, 1)
-            return jnp.concatenate([radial, e0], axis=-1)
-
-        for i in range(cfg.inv_sublayers):
-            h = GCL(cfg, self.edge_nf, name=f"gcl_{i}")(
-                h, edge_attr_fn, adj, node_mask)
-        x = EquivariantUpdate(cfg, self.edge_nf, self.coords_range,
+    def __call__(self, h, x, adj, node_mask, edge_attr0, update_coords_mask,
+                 nbr_idx):
+        ctx = make_edge_context(self.cfg, x, adj, edge_attr0, nbr_idx)
+        for i in range(self.cfg.inv_sublayers):
+            h = GCL(self.cfg, self.edge_nf, name=f"gcl_{i}")(
+                h, ctx, node_mask)
+        x = EquivariantUpdate(self.cfg, self.edge_nf, self.coords_range,
                               name="gcl_equiv")(
-            h, x, edge_attr_fn, adj, node_mask, update_coords_mask)
+            h, x, ctx, node_mask, update_coords_mask)
         return h, x
 
 
@@ -304,9 +377,10 @@ class EGNN(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, adj, node_mask, update_coords_mask=None,
-                 edge_attr=None):
-        """h: [B, N, in_node_nf]; x: [B, N, 3]; adj: [B, N, N];
-        node_mask: [B, N]; edge_attr: optional [B, N, N, in_edge_nf].
+                 edge_attr=None, nbr_idx=None):
+        """h: [B, N, in_node_nf]; x: [B, N, 3]; adj: [B, N, N] dense or
+        [B, N, K] when nbr_idx [B, N, K] is given; edge_attr: optional
+        [B, N, {N|K}, in_edge_nf].
 
         Returns (h_out [B, N, out_node_nf], x_out [B, N, 3]).
         """
@@ -316,11 +390,19 @@ class EGNN(nn.Module):
         edge_nf = 2 * dist_nf + self.in_edge_nf
 
         # initial distances become a persistent edge feature
-        radial0, _ = coord_diff(x, x, cfg.norm_constant)
+        if nbr_idx is None:
+            x0_cols = x[:, None, :, :]
+        else:
+            x0_cols = _take_rows(x, nbr_idx)
+        radial0, _ = coord_diff(x[:, :, None, :], x0_cols,
+                                cfg.norm_constant)
         if cfg.sin_embedding:
             edge_attr0 = sinusoid_embed(radial0[..., 0])
         else:
             edge_attr0 = radial0
+        if nbr_idx is None and edge_attr0.shape[1] == 1:
+            edge_attr0 = jnp.broadcast_to(
+                edge_attr0, (x.shape[0], x.shape[1]) + edge_attr0.shape[2:])
         if edge_attr is not None:
             edge_attr0 = jnp.concatenate([edge_attr0, edge_attr], axis=-1)
 
@@ -328,7 +410,8 @@ class EGNN(nn.Module):
         for i in range(cfg.n_layers):
             h, x = EquivariantBlock(cfg, edge_nf, coords_range_layer,
                                     name=f"e_block_{i}")(
-                h, x, adj, node_mask, edge_attr0, update_coords_mask)
+                h, x, adj, node_mask, edge_attr0, update_coords_mask,
+                nbr_idx)
         h = nn.Dense(self.out_node_nf, name="embedding_out")(h)
         return h * node_mask[..., None].astype(h.dtype), x
 
@@ -345,17 +428,23 @@ class GNN(nn.Module):
     def __call__(self, xh, adj, node_mask, edge_attr=None):
         cfg = self.cfg
         n = xh.shape[1]
-        tile0, _, n_pad = _tiling(n, cfg.row_tile)
-        e_p = (None if edge_attr is None else _pad_rows(edge_attr, n_pad))
+        b = xh.shape[0]
+        if edge_attr is None:
+            edge_attr = jnp.zeros((b, n, n, 0), xh.dtype)
+        # GNN has no coordinates; reuse the dense context with zero coords
+        ctx = make_edge_context(cfg, jnp.zeros((b, n, 3), xh.dtype), adj,
+                                edge_attr, None)
+        # replace the distance-prepending edge_attr with raw features
+        e_p = _pad_rows(edge_attr, ctx.n_pad)
 
-        def edge_attr_fn(i0, tile):
-            if e_p is None:
-                return jnp.zeros((xh.shape[0], tile, n, 0), xh.dtype)
-            return jax.lax.dynamic_slice_in_dim(e_p, i0, tile, 1)
+        def edge_attr_fn(i0):
+            return jax.lax.dynamic_slice_in_dim(e_p, i0, ctx.tile, 1)
+
+        ctx = ctx._replace(edge_attr=edge_attr_fn)
 
         h = nn.Dense(cfg.hidden_nf, name="embedding")(xh)
         for i in range(cfg.n_layers):
             h = GCL(cfg, self.in_edge_nf, name=f"gcl_{i}")(
-                h, edge_attr_fn, adj, node_mask)
+                h, ctx, node_mask)
         h = nn.Dense(self.out_node_nf, name="embedding_out")(h)
         return h * node_mask[..., None].astype(h.dtype)
