@@ -93,10 +93,9 @@ def perceive_molecule(coords: np.ndarray, type_idx: np.ndarray,
     # 2) aromatic ring kekulization: rings of 5-7 C/N/O/S atoms whose bond
     # lengths sit in the aromatic window (shorter than midway between the
     # single- and double-bond lengths, + slack)
-    try:
-        rings = nx.minimum_cycle_basis(g)
-    except Exception:
-        rings = nx.cycle_basis(g)
+    from diffndm_tpu.chem.rings import find_rings
+
+    rings = find_rings(n, edges)
     arom_edges = set()
     arom_atoms = set()
     for ring in rings:

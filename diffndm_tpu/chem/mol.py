@@ -109,17 +109,12 @@ class Molecule:
     # -- rings -------------------------------------------------------------
     @property
     def rings(self) -> List[List[int]]:
-        """Smallest set of smallest rings (cycle basis)."""
+        """Smallest set of smallest rings (fast BFS SSSR, chem.rings)."""
         def build():
-            import networkx as nx
+            from diffndm_tpu.chem.rings import find_rings
 
-            g = nx.Graph()
-            g.add_nodes_from(range(self.n_atoms))
-            g.add_edges_from([(i, j) for i, j, _ in self.bonds])
-            try:
-                return [list(c) for c in nx.minimum_cycle_basis(g)]
-            except Exception:
-                return [list(c) for c in nx.cycle_basis(g)]
+            return find_rings(self.n_atoms,
+                              [(i, j) for i, j, _ in self.bonds])
         return self._cached("rings", build)
 
     @property
