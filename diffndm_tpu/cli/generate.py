@@ -39,6 +39,9 @@ def build_parser():
                    help="AdjustNet checkpoint to save after RL update")
     p.add_argument("--SVDD", type=int, default=0)
     p.add_argument("--SPSA", type=int, default=0)
+    p.add_argument("--rl_loops", type=int, default=1,
+                   help="repeat generation+REINFORCE this many times "
+                        "(the reference's my_temp.py RL-training driver)")
     return p
 
 
@@ -86,16 +89,20 @@ def main(argv=None):
     model = load_model(args)
     num_nodes = (np.full((args.n_samples,), args.num_nodes_lig)
                  if args.num_nodes_lig else None)
-    mols, result = model.generate_ligands(
-        args.pdbfile, args.n_samples, args.ref_ligand,
-        key=jax.random.PRNGKey(args.seed), timesteps=args.timesteps,
-        num_nodes_lig=num_nodes, optimize=bool(args.optimize),
-        train_rl=bool(args.path_save), sanitize=args.sanitize,
-        largest_frag=args.all_frags is False and args.sanitize,
-        relax_iter=(200 if args.relax else 0))
-    if args.path_save:
-        model.adjust_state.save(args.path_save)
-        print(f"saved AdjustNet checkpoint to {args.path_save}")
+    loops = max(1, args.rl_loops if args.path_save else 1)
+    for loop in range(loops):
+        mols, result = model.generate_ligands(
+            args.pdbfile, args.n_samples, args.ref_ligand,
+            key=jax.random.PRNGKey(args.seed + loop),
+            timesteps=args.timesteps,
+            num_nodes_lig=num_nodes, optimize=bool(args.optimize),
+            train_rl=bool(args.path_save), sanitize=args.sanitize,
+            largest_frag=args.all_frags is False and args.sanitize,
+            relax_iter=(200 if args.relax else 0))
+        if args.path_save:
+            model.adjust_state.save(args.path_save)
+            print(f"[loop {loop}] saved AdjustNet checkpoint to "
+                  f"{args.path_save}")
     write_sdf(args.outfile, mols)
     n_ok = sum(m is not None for m in mols)
     print(f"wrote {n_ok}/{len(mols)} molecules to {args.outfile}")

@@ -71,6 +71,9 @@ class SPSAConfig:
     w_qed: float = 2.0
     w_sa: float = 3.0
     w_lipinski: float = 0.2
+    # one-off hybrid branch-ensemble + prune at s == start_step
+    # (conditional_model.py:1261-1418)
+    hybrid_prune: bool = True
 
 
 @dataclass(frozen=True)

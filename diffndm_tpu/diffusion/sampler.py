@@ -58,7 +58,17 @@ class ConditionalSampler:
         self.dataset_info = dataset_info
         self.oracle = oracle or RewardOracle(dataset_info)
         self.adjust_module = adjust_module
+        # optional host tap called every step with (s, z_lig, xh_pocket,
+        # lig_mask) — the mid-trajectory molecule dump hook
+        # (conditional_model.py:555-593 my_in_test)
+        self.frame_tap = None
         self._run_cache = {}
+
+    def set_frame_tap(self, fn) -> None:
+        """fn(s:int, z_lig, xh_pocket, lig_mask) runs host-side each step
+        (e.g. make_sdf_frame_tap); pass None to disable."""
+        self.frame_tap = fn
+        self._run_cache.clear()
 
     def eps_fn(self, params):
         def fn(z_lig, xh_pocket, t, lig_mask, pocket_mask):
@@ -133,6 +143,26 @@ class ConditionalSampler:
                             lig_mask, pocket_mask, t_norm, zeta, cfg.spsa),
                         lambda args: args,
                         (z, xh_p))
+                    if cfg.spsa.hybrid_prune:
+                        # one-off hybrid branch ensemble + prune at
+                        # s == start_step (conditional_model.py:1261-1418)
+                        from diffndm_tpu.guidance.atp import \
+                            hybrid_spsa_prune
+
+                        key, k4 = jax.random.split(key)
+                        z, xh_p = jax.lax.cond(
+                            s == cfg.spsa.start_step,
+                            lambda args: hybrid_spsa_prune(
+                                k4, core, eps_fn, oracle, args[0], args[1],
+                                lig_mask, pocket_mask, s_norm, t_norm, s,
+                                cfg.atp, cfg.spsa, zeta,
+                                adjust_fn=adjust_fn),
+                            lambda args: args,
+                            (z, xh_p))
+
+                if self.frame_tap is not None:
+                    jax.debug.callback(self.frame_tap, s, z, xh_p,
+                                       lig_mask, ordered=True)
 
                 ys = (z_pre, eps_pre) if collect_rl else None
                 return (z, xh_p, key, lp_sum, count), ys
@@ -234,3 +264,32 @@ def optax_global_norm(tree) -> jnp.ndarray:
     import optax
 
     return optax.global_norm(tree)
+
+
+def make_sdf_frame_tap(out_dir: str, dataset_info: dict, core,
+                       every: int = 100):
+    """Host tap writing intermediate molecules to
+    <out_dir>/try_<s>.sdf every ``every`` steps (reference my_in_test,
+    conditional_model.py:555-593)."""
+    import os
+
+    import numpy as np
+
+    from diffndm_tpu.chem.bonds import build_molecules_batch
+    from diffndm_tpu.chem.io import write_sdf
+
+    os.makedirs(out_dir, exist_ok=True)
+    nx = core.cfg.norm_values[0]
+
+    def tap(s, z_lig, xh_pocket, lig_mask):
+        s = int(s)
+        if s % every != 0:
+            return
+        coords = np.asarray(z_lig)[..., :3] * nx
+        types = np.asarray(z_lig)[..., 3:]
+        mask = np.asarray(lig_mask)
+        mols = build_molecules_batch(coords, types.argmax(-1), mask,
+                                     dataset_info)
+        write_sdf(os.path.join(out_dir, f"try_{s}.sdf"), mols)
+
+    return tap

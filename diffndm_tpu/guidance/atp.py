@@ -30,6 +30,74 @@ from diffndm_tpu.guidance.oracle import RewardOracle
 from diffndm_tpu.ops.segment import remove_mean_ligand
 
 
+def hybrid_spsa_prune(key, core: CondDiffusion, eps_fn, oracle,
+                      z_lig, xh_pocket, lig_mask, pocket_mask, s_norm,
+                      t_norm, s_step, atp_cfg, spsa_cfg, zeta,
+                      adjust_fn=None):
+    """The reference's one-off hybrid event at s == spsa.start_step
+    (conditional_model.py:1261-1418): G-1 extra branches are sampled, each
+    branch gets its own SPSA update, then the G-group ensemble is scored
+    (z and x0 decodes, SVDD reward, mixed weighting) and pruned to top-B.
+    The i>=2 branches use zeta = zeta0 (the reference's multi-scale quirk,
+    :1285-1286)."""
+    from diffndm_tpu.guidance.spsa import spsa_update
+
+    b = z_lig.shape[0]
+    g_extra = atp_cfg.num_groups - 1
+    n_dims = core.n_dims
+    nx, nh = core.cfg.norm_values
+
+    k_branch, k_spsa = jax.random.split(key)
+
+    def branch(args):
+        i, bk = args
+        k1, k2 = jax.random.split(bk)
+        z_b, xh_b, _, _ = core.sample_p_zs_given_zt(
+            k1, s_norm, t_norm, z_lig, xh_pocket, lig_mask, pocket_mask,
+            eps_fn, adjust_fn=adjust_fn)
+        branch_zeta = jnp.where(i >= 2, spsa_cfg.zeta0, zeta)
+        z_b, xh_b = spsa_update(k2, core, eps_fn, oracle, z_b, xh_b,
+                                lig_mask, pocket_mask, t_norm, branch_zeta,
+                                spsa_cfg)
+        return z_b, xh_b
+
+    idxs = jnp.arange(g_extra)
+    zb, xhb = jax.lax.map(branch, (idxs, jax.random.split(k_branch,
+                                                          g_extra)))
+    z_groups = jnp.concatenate([z_lig[None], zb], axis=0)
+    xh_groups = jnp.concatenate([xh_pocket[None], xhb], axis=0)
+
+    def lookahead(zg):
+        z, xh = zg
+        return core.to_x0(z, xh, t_norm, lig_mask, pocket_mask, eps_fn)
+
+    z0_groups = jax.lax.map(lookahead, (z_groups, xh_groups))
+
+    g = atp_cfg.num_groups
+    flat = lambda arr: arr.reshape((g * b,) + arr.shape[2:])
+    lm_f = jnp.tile(lig_mask, (g, 1))
+    r_z = oracle.svdd_rewards(flat(z_groups)[..., :n_dims] * nx,
+                              flat(z_groups)[..., n_dims:], lm_f, atp_cfg)
+    r_x0 = oracle.svdd_rewards(flat(z0_groups)[..., :n_dims] * nx,
+                               flat(z0_groups)[..., n_dims:], lm_f,
+                               atp_cfg)
+    s_f = s_step.astype(jnp.float32)
+    if atp_cfg.compat_precedence:
+        w_z = atp_cfg.mix_denom - s_f / atp_cfg.mix_denom
+    else:
+        w_z = (atp_cfg.mix_denom - s_f) / atp_cfg.mix_denom
+    mixed = r_x0 * (s_f / atp_cfg.mix_denom) + r_z * w_z
+    _, top_idx = jax.lax.top_k(mixed, b)
+    z_new = flat(z_groups)[top_idx]
+    xh_new = flat(xh_groups)[top_idx]
+    zx, px = remove_mean_ligand(z_new[..., :n_dims], xh_new[..., :n_dims],
+                                lig_mask, pocket_mask)
+    z_new = jnp.concatenate([zx, z_new[..., n_dims:]], -1) * \
+        lig_mask[..., None]
+    xh_new = jnp.concatenate([px, xh_new[..., n_dims:]], -1)
+    return z_new, xh_new
+
+
 def atp_prune(key, core: CondDiffusion, eps_fn, oracle: RewardOracle,
               z_lig, xh_pocket, lig_mask, pocket_mask, s_norm, t_norm,
               s_step, cfg: ATPConfig, adjust_fn=None):
