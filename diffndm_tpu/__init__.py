@@ -25,4 +25,24 @@ Key architectural differences from the PyTorch reference:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: remote TPU compiles through the axon
+# tunnel cost 1-3 min each; caching makes repeated CLI/bench invocations
+# start in seconds. Opt out with DIFFNDM_NO_COMPILE_CACHE=1.
+if _os.environ.get("DIFFNDM_NO_COMPILE_CACHE") != "1":
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "DIFFNDM_COMPILE_CACHE",
+            _os.path.expanduser("~/.cache/diffndm_jax"))
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except Exception:
+        pass
+
 from diffndm_tpu import constants  # noqa: F401

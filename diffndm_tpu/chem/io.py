@@ -65,19 +65,30 @@ def read_sdf(path: str) -> List[Molecule]:
     with open(path) as f:
         blocks = f.read().split("$$$$")
     for block in blocks:
-        lines = [ln for ln in block.splitlines() if ln.strip() or True]
-        # strip leading empties
-        while lines and not lines[0].strip() and len(lines) > 4:
+        lines = block.splitlines()
+        # drop a leading newline left by the $$$$ split, keeping the
+        # 3-line header + counts alignment intact
+        while lines and not lines[0].strip() and len(lines) > 4 and \
+                "V2000" not in lines[3]:
             lines.pop(0)
         if len(lines) < 4:
             continue
-        counts = lines[3]
+        # locate the counts line (header lines may themselves be blank)
+        counts_idx = None
+        for k in range(min(8, len(lines))):
+            if "V2000" in lines[k]:
+                counts_idx = k
+                break
+        if counts_idx is None:
+            counts_idx = 3
+        counts = lines[counts_idx]
         try:
             n_atoms = int(counts[0:3])
             n_bonds = int(counts[3:6])
         except (ValueError, IndexError):
             continue
         coords, symbols, bonds = [], [], []
+        lines = lines[counts_idx - 3:]
         for ln in lines[4:4 + n_atoms]:
             coords.append([float(ln[0:10]), float(ln[10:20]),
                            float(ln[20:30])])

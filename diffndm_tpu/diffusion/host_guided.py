@@ -1,0 +1,385 @@
+"""Host-orchestrated guided sampling.
+
+The fused sampler (diffusion/sampler.py) evaluates chemistry rewards
+through ``io_callback`` inside one jitted scan — the design for standard
+TPU/CPU runtimes.  Some TPU attachment runtimes (e.g. the axon PJRT
+tunnel used here) do not support host callbacks at all; this module
+provides the same semantics with the loop split at guidance events:
+
+- one jitted scan covers the head of the trajectory (no guidance there);
+- inside the guidance window, jitted single-step / candidate / update
+  functions run on device while reward scoring happens between dispatches
+  on the host (same RewardOracle, numpy path);
+- device<->host traffic is one decode per guidance event — identical to
+  what io_callback would transfer.
+
+Use ``supports_io_callback()`` to pick the mode; ConditionalSampler does
+this automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffndm_tpu.config import SampleConfig
+from diffndm_tpu.diffusion.core import (CondDiffusion,
+                                        init_ligand_from_pocket)
+from diffndm_tpu.ops.segment import masked_mean, remove_mean_ligand
+from diffndm_tpu.structs import NodeBatch
+
+
+def supports_io_callback() -> bool:
+    try:
+        dev = jax.devices()[0]
+        return dev.platform not in ("axon",)
+    except Exception:
+        return True
+
+
+class HostGuidedSampler:
+    """Mirrors ConditionalSampler.sample_given_pocket for runtimes
+    without host-callback support."""
+
+    def __init__(self, core: CondDiffusion, module, params,
+                 cfg: SampleConfig, dataset_info, oracle,
+                 adjust_module=None):
+        self.core = core
+        self.module = module
+        self.params = params
+        self.cfg = cfg
+        self.oracle = oracle
+        self.adjust_module = adjust_module
+        self._jit_cache = {}
+
+    # -- jitted building blocks ----------------------------------------
+    def _eps_fn(self, params):
+        def fn(z, xh_p, t, lm, pm):
+            return self.module.apply(params, z, xh_p, t, lm, pm)
+        return fn
+
+    def _get(self, name, builder):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = builder()
+        return self._jit_cache[name]
+
+    def _normalize_pocket(self):
+        core = self.core
+
+        def fn(params, key, pocket_x, pocket_h, pocket_mask, lig_mask):
+            nx, nh = core.cfg.norm_values
+            bh = core.cfg.norm_biases[1]
+            p_x = pocket_x / nx * pocket_mask[..., None]
+            p_h = (pocket_h - bh) / nh * pocket_mask[..., None]
+            if core.simple:
+                com = masked_mean(p_x, pocket_mask, axis=1, keepdims=True)
+                p_x = (p_x - com) * pocket_mask[..., None]
+            z, xh_p = init_ligand_from_pocket(key, core, p_x, p_h,
+                                              lig_mask, pocket_mask)
+            return z, xh_p
+
+        return jax.jit(fn)
+
+    def _segment(self, timesteps: int, optimize: bool):
+        core = self.core
+
+        def fn(params, adjust_params, key, z, xh_p, lig_mask, pocket_mask,
+               steps, lp_sum):
+            eps_fn = self._eps_fn(params)
+            adjust_fn = None
+            if self.adjust_module is not None and optimize:
+                adjust_fn = lambda zz: self.adjust_module.apply(
+                    adjust_params, zz)
+
+            def step(carry, s):
+                z, xh_p, key, lp = carry
+                key, k = jax.random.split(key)
+                s_norm = s.astype(jnp.float32) / timesteps
+                t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
+                z, xh_p, lpa, _ = core.sample_p_zs_given_zt(
+                    k, s_norm, t_norm, z, xh_p, lig_mask, pocket_mask,
+                    eps_fn, adjust_fn=adjust_fn)
+                return (z, xh_p, key, lp + lpa), None
+
+            (z, xh_p, key, lp_sum), _ = jax.lax.scan(
+                step, (z, xh_p, key, lp_sum), steps)
+            return z, xh_p, key, lp_sum
+
+        return jax.jit(fn)
+
+    def _atp_candidates(self, timesteps: int, g_extra: int):
+        core = self.core
+
+        def fn(params, key, z, xh_p, lig_mask, pocket_mask, s):
+            eps_fn = self._eps_fn(params)
+            s_norm = s.astype(jnp.float32) / timesteps
+            t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
+
+            def branch(bk):
+                z_b, xh_b, _, _ = core.sample_p_zs_given_zt(
+                    bk, s_norm, t_norm, z, xh_p, lig_mask, pocket_mask,
+                    eps_fn)
+                return z_b, xh_b
+
+            zb, xhb = jax.lax.map(branch, jax.random.split(key, g_extra))
+            z_groups = jnp.concatenate([z[None], zb], axis=0)
+            xh_groups = jnp.concatenate([xh_p[None], xhb], axis=0)
+
+            def lookahead(zg):
+                zz, xx = zg
+                return core.to_x0(zz, xx, t_norm, lig_mask, pocket_mask,
+                                  eps_fn)
+
+            z0_groups = jax.lax.map(lookahead, (z_groups, xh_groups))
+            return z_groups, xh_groups, z0_groups
+
+        return jax.jit(fn)
+
+    def _atp_select(self):
+        core = self.core
+        n_dims = core.n_dims
+
+        def fn(z_groups, xh_groups, rewards, lig_mask, pocket_mask):
+            g, b = z_groups.shape[0], z_groups.shape[1]
+            flat = lambda a: a.reshape((g * b,) + a.shape[2:])
+            _, top_idx = jax.lax.top_k(rewards, b)
+            z_new = flat(z_groups)[top_idx]
+            xh_new = flat(xh_groups)[top_idx]
+            zx, px = remove_mean_ligand(z_new[..., :n_dims],
+                                        xh_new[..., :n_dims], lig_mask,
+                                        pocket_mask)
+            z_new = jnp.concatenate([zx, z_new[..., n_dims:]], -1) * \
+                lig_mask[..., None]
+            xh_new = jnp.concatenate([px, xh_new[..., n_dims:]], -1)
+            return z_new, xh_new
+
+        return jax.jit(fn)
+
+    def _spsa_probe(self, timesteps: int):
+        core = self.core
+        n_dims = core.n_dims
+
+        def fn(params, key, z, xh_p, lig_mask, pocket_mask, s, zeta):
+            eps_fn = self._eps_fn(params)
+            t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
+            b = z.shape[0]
+            ml = lig_mask[..., None]
+            noise = jax.random.normal(key, z[..., :n_dims].shape) * ml
+            noise = noise - masked_mean(noise, lig_mask, axis=1,
+                                        keepdims=True)
+            pert = zeta * noise * ml
+
+            def shift(sign):
+                return jnp.concatenate(
+                    [z[..., :n_dims] + sign * pert, z[..., n_dims:]], -1)
+
+            z_pm = jnp.concatenate([shift(1.0), shift(-1.0)], axis=0)
+            xh2 = jnp.tile(xh_p, (2, 1, 1))
+            lm2 = jnp.tile(lig_mask, (2, 1))
+            pm2 = jnp.tile(pocket_mask, (2, 1))
+            t2 = jnp.concatenate([jnp.broadcast_to(t_norm, (b,))] * 2)
+            z0 = core.to_x0(z_pm, xh2, t2, lm2, pm2, eps_fn)
+            return pert, z0
+
+        return jax.jit(fn)
+
+    def _spsa_apply(self):
+        core = self.core
+        n_dims = core.n_dims
+
+        def fn(z, xh_p, avg_grad, lig_mask, pocket_mask, scale):
+            new_x = z[..., :n_dims] + scale * avg_grad
+            zx, px = remove_mean_ligand(new_x, xh_p[..., :n_dims],
+                                        lig_mask, pocket_mask)
+            z = jnp.concatenate([zx, z[..., n_dims:]], -1) * \
+                lig_mask[..., None]
+            xh_p = jnp.concatenate([px, xh_p[..., n_dims:]], -1)
+            return z, xh_p
+
+        return jax.jit(fn)
+
+    def _decode(self, timesteps: int):
+        core = self.core
+
+        def fn(params, key, z, xh_p, lig_mask, pocket_mask, pocket_x):
+            eps_fn = self._eps_fn(params)
+            x_lig, h_lig, x_pocket, h_pocket = core.sample_p_xh_given_z0(
+                key, z, xh_p, lig_mask, pocket_mask, eps_fn)
+            x_lig, x_pocket = remove_mean_ligand(x_lig, x_pocket, lig_mask,
+                                                 pocket_mask)
+            com_before = masked_mean(pocket_x, pocket_mask, axis=1,
+                                     keepdims=True)
+            com_after = masked_mean(x_pocket, pocket_mask, axis=1,
+                                    keepdims=True)
+            shift = com_before - com_after
+            x_lig = (x_lig + shift) * lig_mask[..., None]
+            x_pocket = (x_pocket + shift) * pocket_mask[..., None]
+            return x_lig, h_lig, x_pocket, h_pocket
+
+        return jax.jit(fn)
+
+    # -- host reward helpers -------------------------------------------
+    def _svdd_rewards_np(self, z_flat, lig_mask_flat):
+        nx = self.core.cfg.norm_values[0]
+        c = self.cfg.atp
+        w = (c.w_qed, c.w_sa, c.w_lipinski, c.logp_k, c.logp_lo, c.logp_hi)
+        return self.oracle.score_batch_host(
+            np.asarray(z_flat[..., :3]) * nx, np.asarray(z_flat[..., 3:]),
+            np.asarray(lig_mask_flat), w)
+
+    def _spsa_rewards_np(self, z_flat, lig_mask_flat):
+        nx = self.core.cfg.norm_values[0]
+        c = self.cfg.spsa
+        w = (c.w_qed, c.w_sa, c.w_lipinski, 0.0, 0.0, 0.0)
+        return self.oracle.score_batch_host(
+            np.asarray(z_flat[..., :3]) * nx, np.asarray(z_flat[..., 3:]),
+            np.asarray(lig_mask_flat), w)
+
+    def _mixed_reward(self, r_x0, r_z, s):
+        c = self.cfg.atp
+        if c.compat_precedence:
+            w_z = c.mix_denom - s / c.mix_denom
+        else:
+            w_z = (c.mix_denom - s) / c.mix_denom
+        return r_x0 * (s / c.mix_denom) + r_z * w_z
+
+    # -- SPSA event -----------------------------------------------------
+    def _run_spsa_event(self, params, key, z, xh_p, lig_mask, pocket_mask,
+                        s, zeta, timesteps):
+        from diffndm_tpu.guidance.spsa import ZETA_GRAD_DENOM
+
+        cfg = self.cfg.spsa
+        probe = self._get(("spsa_probe", timesteps),
+                          partial(self._spsa_probe, timesteps))
+        apply_fn = self._get("spsa_apply", self._spsa_apply)
+        b = z.shape[0]
+        lm2 = np.tile(np.asarray(lig_mask), (2, 1))
+        grads = None
+        for kp in jax.random.split(key, cfg.num_probes):
+            pert, z0 = probe(params, kp, z, xh_p, lig_mask, pocket_mask,
+                             jnp.asarray(s), jnp.asarray(zeta))
+            rewards = self._spsa_rewards_np(z0, lm2)
+            dd = (rewards[:b] - rewards[b:]) / (2.0 * ZETA_GRAD_DENOM)
+            g = jnp.asarray(dd)[:, None, None] * pert
+            grads = g if grads is None else grads + g
+        avg = grads / cfg.num_probes
+        return apply_fn(z, xh_p, avg, lig_mask, pocket_mask,
+                        jnp.asarray(cfg.guidance_scale))
+
+    # -- ATP event ------------------------------------------------------
+    def _run_atp_event(self, params, key, z, xh_p, lig_mask, pocket_mask,
+                       s, timesteps):
+        cfg = self.cfg.atp
+        cand = self._get(("atp_cand", timesteps, cfg.num_groups - 1),
+                         partial(self._atp_candidates, timesteps,
+                                 cfg.num_groups - 1))
+        select = self._get("atp_select", self._atp_select)
+        z_groups, xh_groups, z0_groups = cand(
+            params, key, z, xh_p, lig_mask, pocket_mask, jnp.asarray(s))
+        g, b = z_groups.shape[0], z_groups.shape[1]
+        lm_f = np.tile(np.asarray(lig_mask), (g, 1))
+        flat = lambda a: np.asarray(a).reshape((g * b,) + a.shape[2:])
+        r_z = self._svdd_rewards_np(flat(z_groups), lm_f)
+        r_x0 = self._svdd_rewards_np(flat(z0_groups), lm_f)
+        mixed = jnp.asarray(self._mixed_reward(r_x0, r_z, float(s)))
+        return select(z_groups, xh_groups, mixed, lig_mask, pocket_mask)
+
+    # -- hybrid SPSA event at s == start_step ---------------------------
+    def _run_hybrid_event(self, params, key, z, xh_p, lig_mask,
+                          pocket_mask, s, zeta, timesteps):
+        cfg_a, cfg_s = self.cfg.atp, self.cfg.spsa
+        step_one = self._get(("atp_cand", timesteps, cfg_a.num_groups - 1),
+                             partial(self._atp_candidates, timesteps,
+                                     cfg_a.num_groups - 1))
+        # branches (the candidate builder also gives us the x0 decodes of
+        # the un-SPSA'd branches; we re-run SPSA on each branch below)
+        z_groups, xh_groups, _ = step_one(
+            params, key, z, xh_p, lig_mask, pocket_mask, jnp.asarray(s))
+        zs, xhs = [z], [xh_p]
+        for i in range(1, cfg_a.num_groups):
+            bzeta = cfg_s.zeta0 if i >= 2 else zeta
+            k_i = jax.random.fold_in(key, i)
+            z_i, xh_i = self._run_spsa_event(
+                params, k_i, z_groups[i], xh_groups[i], lig_mask,
+                pocket_mask, s, bzeta, timesteps)
+            zs.append(z_i)
+            xhs.append(xh_i)
+        z_groups = jnp.stack(zs)
+        xh_groups = jnp.stack(xhs)
+        # score and select like an ATP event (z-decode only + x0 via the
+        # candidate builder is an extra forward; use z for both terms of
+        # the mixed reward at this late step)
+        g, b = z_groups.shape[0], z_groups.shape[1]
+        lm_f = np.tile(np.asarray(lig_mask), (g, 1))
+        flat = lambda a: np.asarray(a).reshape((g * b,) + a.shape[2:])
+        r_z = self._svdd_rewards_np(flat(z_groups), lm_f)
+        mixed = jnp.asarray(self._mixed_reward(r_z, r_z, float(s)))
+        select = self._get("atp_select", self._atp_select)
+        return select(z_groups, xh_groups, mixed, lig_mask, pocket_mask)
+
+    # -- main loop ------------------------------------------------------
+    def sample(self, key, pocket: NodeBatch, lig_mask: jnp.ndarray,
+               timesteps: int, adjust_params=None, optimize: bool = False):
+        cfg = self.cfg
+        params = self.params
+        key, k_init = jax.random.split(key)
+        init = self._get("init", self._normalize_pocket)
+        z, xh_p = init(params, k_init, pocket.x, pocket.h, pocket.mask,
+                       lig_mask)
+
+        seg = self._get(("seg", timesteps, optimize),
+                        partial(self._segment, timesteps, optimize))
+        lp_sum = jnp.zeros(())
+
+        guided_lo = 0
+        guided_hi = -1
+        if cfg.atp.enabled:
+            guided_hi = max(guided_hi, cfg.atp.start_step)
+        if cfg.spsa.enabled:
+            guided_hi = max(guided_hi, cfg.spsa.start_step)
+
+        # head segment: no guidance possible above guided_hi
+        head_steps = jnp.arange(timesteps - 1, guided_hi, -1)
+        if head_steps.size:
+            key, k_seg = jax.random.split(key)
+            z, xh_p, _, lp_sum = seg(params, adjust_params, k_seg, z, xh_p,
+                                     lig_mask, pocket.mask, head_steps,
+                                     lp_sum)
+
+        # guided region: single steps with host-scored events
+        for s in range(min(guided_hi, timesteps - 1), -1, -1):
+            key, k_step = jax.random.split(key)
+            z, xh_p, _, lp_sum = seg(params, adjust_params, k_step, z,
+                                     xh_p, lig_mask, pocket.mask,
+                                     jnp.asarray([s]), lp_sum)
+            if cfg.atp.enabled and s <= cfg.atp.start_step and \
+                    s % cfg.atp.every == 0:
+                key, k_atp = jax.random.split(key)
+                z, xh_p = self._run_atp_event(params, k_atp, z, xh_p,
+                                              lig_mask, pocket.mask, s,
+                                              timesteps)
+            if cfg.spsa.enabled and s <= cfg.spsa.start_step and \
+                    s % cfg.spsa.every == 0:
+                key, k_spsa = jax.random.split(key)
+                zeta = cfg.spsa.zeta0 * s / cfg.spsa.zeta_denom
+                z, xh_p = self._run_spsa_event(params, k_spsa, z, xh_p,
+                                               lig_mask, pocket.mask, s,
+                                               zeta, timesteps)
+                if cfg.spsa.hybrid_prune and s == cfg.spsa.start_step:
+                    key, k_h = jax.random.split(key)
+                    z, xh_p = self._run_hybrid_event(
+                        params, k_h, z, xh_p, lig_mask, pocket.mask, s,
+                        zeta, timesteps)
+
+        key, k_dec = jax.random.split(key)
+        decode = self._get(("decode", timesteps),
+                           partial(self._decode, timesteps))
+        x_lig, h_lig, x_pocket, h_pocket = decode(
+            params, k_dec, z, xh_p, lig_mask, pocket.mask, pocket.x)
+        n_guided = max(0, min(guided_hi, timesteps - 1) + 1)
+        avg_lp = lp_sum / max(timesteps, 1)
+        return x_lig, h_lig, x_pocket, h_pocket, avg_lp

@@ -206,7 +206,16 @@ class ConditionalSampler:
 
         num_nodes_lig: [B] node counts.  The ligand padding bucket is the
         max count rounded up to ``cfg.lig_pad_multiple``.
+
+        On runtimes without host-callback support (e.g. the axon PJRT
+        tunnel) guided sampling automatically switches to the
+        host-orchestrated loop in diffusion/host_guided.py.
         """
+        import os
+
+        from diffndm_tpu.diffusion.host_guided import (HostGuidedSampler,
+                                                       supports_io_callback)
+
         timesteps = timesteps or self.core.schedule.timesteps
         b = pocket.x.shape[0]
         n_max = int(np.asarray(num_nodes_lig).max())
@@ -215,6 +224,27 @@ class ConditionalSampler:
         lig_mask = (np.arange(nl)[None, :]
                     < np.asarray(num_nodes_lig)[:, None]).astype(np.float32)
         lig_mask = jnp.asarray(lig_mask)
+
+        needs_callbacks = (self.cfg.atp.enabled or self.cfg.spsa.enabled
+                           or self.frame_tap is not None)
+        force_host = os.environ.get("DIFFNDM_HOST_GUIDANCE") == "1"
+        if needs_callbacks and not collect_rl and \
+                (force_host or not supports_io_callback()):
+            if "host" not in self._run_cache:
+                self._run_cache["host"] = HostGuidedSampler(
+                    self.core, self.module, self.params, self.cfg,
+                    self.dataset_info, self.oracle,
+                    adjust_module=self.adjust_module)
+            host = self._run_cache["host"]
+            host.params = self.params
+            x_lig, h_lig, x_pocket, h_pocket, avg_lp = host.sample(
+                key, pocket, lig_mask, timesteps,
+                adjust_params=adjust_params, optimize=optimize)
+            return SampleResult(
+                ligand=NodeBatch(x=x_lig, h=h_lig, mask=lig_mask),
+                pocket=NodeBatch(x=x_pocket, h=h_pocket,
+                                 mask=pocket.mask),
+                avg_log_prob=avg_lp, rl_traj=None)
 
         cache_key = (timesteps, optimize, collect_rl, nl,
                      pocket.x.shape[1], b)
