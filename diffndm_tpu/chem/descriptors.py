@@ -290,13 +290,39 @@ def structural_alerts(mol: Molecule) -> int:
             if any(int(adj[c, k]) == 2 and syms[k] == "O"
                    for k in mol.neighbors[c]):
                 n += 1
-    # aldehyde
     for i, s in enumerate(syms):
+        nb = mol.neighbors[i]
+        # aldehyde
         if s == "C" and mol.implicit_h(i) >= 1:
-            if any(int(adj[i, j]) == 2 and syms[j] == "O"
-                   for j in mol.neighbors[i]):
+            if any(int(adj[i, j]) == 2 and syms[j] == "O" for j in nb):
                 n += 1
-        # isolated nitro already mildly alerted via long-chain check below
+        # thiol
+        if s == "S" and mol.implicit_h(i) >= 1:
+            n += 1
+        # nitro group
+        if s == "N":
+            o_nb = [j for j in nb if syms[j] == "O"]
+            if len(o_nb) >= 2 and any(int(adj[i, j]) == 2 for j in o_nb):
+                n += 1
+        # polyhalogenated carbon (>= 2 halogens on one C)
+        if s == "C":
+            halo = sum(1 for j in nb if syms[j] in ("F", "Cl", "Br", "I"))
+            if halo >= 2:
+                n += 1
+        # acyclic imine C=N
+        if s == "C" and not mol.ring_membership[i]:
+            if any(int(adj[i, j]) == 2 and syms[j] == "N"
+                   and not mol.ring_membership[j] for j in nb):
+                n += 1
+        # Michael acceptor: C=C-C=O conjugated, acyclic alkene end
+        if s == "C" and not mol.is_aromatic_atom(i):
+            for j in nb:
+                if int(adj[i, j]) == 2 and syms[j] == "C":
+                    for k in mol.neighbors[j]:
+                        if k != i and syms[k] == "C" and any(
+                                int(adj[k, l]) == 2 and syms[l] == "O"
+                                for l in mol.neighbors[k]):
+                            n += 1
     # long unbranched aliphatic chain (>= 7 sp3 CH2 in a row)
     run = _longest_ch2_run(mol)
     if run >= 7:

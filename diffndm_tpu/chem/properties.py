@@ -97,7 +97,12 @@ def _atom_env_score(mol: Molecule, i: int) -> float:
     if mol.is_aromatic_atom(i):
         s += 0.25
     elif mol.ring_membership[i]:
-        s += 0.05
+        # non-aromatic ring membership: 5/6 rings are common, strained
+        # 3/4 rings are rare fragments
+        if any(len(r) <= 4 and i in r for r in mol.rings):
+            s -= 0.9
+        else:
+            s += 0.05
     deg = mol.degree(i)
     if sym == "C" and deg == 4:
         s -= 1.0  # quaternary carbon
@@ -110,6 +115,13 @@ def _atom_env_score(mol: Molecule, i: int) -> float:
                  if mol.symbols[j] not in ("C", "H"))
     if sym != "C" and het_nb >= 1:
         s -= 0.6
+    if sym == "C" and het_nb >= 2:
+        s -= 0.5  # acetal/aminal-like carbons are rarer fragments
+    if sym in ("N", "O") and deg >= 3 and not mol.is_aromatic_atom(i):
+        s -= 0.5
+    # exotic elements next to rings or multiple bonds
+    if sym in ("P", "B", "S") and deg >= 3:
+        s -= 0.5
     return s
 
 

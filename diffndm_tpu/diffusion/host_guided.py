@@ -33,12 +33,35 @@ from diffndm_tpu.ops.segment import masked_mean, remove_mean_ligand
 from diffndm_tpu.structs import NodeBatch
 
 
+_IO_CALLBACK_OK: Optional[bool] = None
+
+
 def supports_io_callback() -> bool:
+    """Probe whether the runtime supports host callbacks (some PJRT
+    attachments, e.g. the axon tunnel, reject them while still reporting
+    platform 'tpu'). Result is cached per process."""
+    global _IO_CALLBACK_OK
+    if _IO_CALLBACK_OK is not None:
+        return _IO_CALLBACK_OK
+    import os
+
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        # axon runtime: callbacks unimplemented; skip the probe
+        _IO_CALLBACK_OK = False
+        return False
     try:
-        dev = jax.devices()[0]
-        return dev.platform not in ("axon",)
+        from jax.experimental import io_callback
+
+        def f(x):
+            return io_callback(lambda v: np.asarray(v) + 1.0,
+                               jax.ShapeDtypeStruct((), jnp.float32), x)
+
+        out = jax.jit(f)(jnp.float32(1.0))
+        jax.block_until_ready(out)
+        _IO_CALLBACK_OK = True
     except Exception:
-        return True
+        _IO_CALLBACK_OK = False
+    return _IO_CALLBACK_OK
 
 
 class HostGuidedSampler:
