@@ -182,7 +182,9 @@ class HostGuidedSampler:
 
         return jax.jit(fn)
 
-    def _spsa_probe(self, timesteps: int):
+    def _spsa_probe(self, timesteps: int, num_probes: int):
+        """All k probes in ONE dispatch (lax.map inside): a single
+        device<->host round trip per SPSA event instead of k."""
         core = self.core
         n_dims = core.n_dims
 
@@ -191,22 +193,29 @@ class HostGuidedSampler:
             t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
             b = z.shape[0]
             ml = lig_mask[..., None]
-            noise = jax.random.normal(key, z[..., :n_dims].shape) * ml
-            noise = noise - masked_mean(noise, lig_mask, axis=1,
-                                        keepdims=True)
-            pert = zeta * noise * ml
-
-            def shift(sign):
-                return jnp.concatenate(
-                    [z[..., :n_dims] + sign * pert, z[..., n_dims:]], -1)
-
-            z_pm = jnp.concatenate([shift(1.0), shift(-1.0)], axis=0)
             xh2 = jnp.tile(xh_p, (2, 1, 1))
             lm2 = jnp.tile(lig_mask, (2, 1))
             pm2 = jnp.tile(pocket_mask, (2, 1))
             t2 = jnp.concatenate([jnp.broadcast_to(t_norm, (b,))] * 2)
-            z0 = core.to_x0(z_pm, xh2, t2, lm2, pm2, eps_fn)
-            return pert, z0
+
+            def one(pk):
+                noise = jax.random.normal(pk, z[..., :n_dims].shape) * ml
+                noise = noise - masked_mean(noise, lig_mask, axis=1,
+                                            keepdims=True)
+                pert = zeta * noise * ml
+
+                def shift(sign):
+                    return jnp.concatenate(
+                        [z[..., :n_dims] + sign * pert, z[..., n_dims:]],
+                        -1)
+
+                z_pm = jnp.concatenate([shift(1.0), shift(-1.0)], axis=0)
+                z0 = core.to_x0(z_pm, xh2, t2, lm2, pm2, eps_fn)
+                return pert, z0
+
+            perts, z0s = jax.lax.map(one, jax.random.split(key,
+                                                           num_probes))
+            return perts, z0s  # [k, B, NL, 3], [k, 2B, NL, D]
 
         return jax.jit(fn)
 
@@ -276,20 +285,20 @@ class HostGuidedSampler:
         from diffndm_tpu.guidance.spsa import ZETA_GRAD_DENOM
 
         cfg = self.cfg.spsa
-        probe = self._get(("spsa_probe", timesteps),
-                          partial(self._spsa_probe, timesteps))
+        probe = self._get(("spsa_probe", timesteps, cfg.num_probes),
+                          partial(self._spsa_probe, timesteps,
+                                  cfg.num_probes))
         apply_fn = self._get("spsa_apply", self._spsa_apply)
         b = z.shape[0]
-        lm2 = np.tile(np.asarray(lig_mask), (2, 1))
-        grads = None
-        for kp in jax.random.split(key, cfg.num_probes):
-            pert, z0 = probe(params, kp, z, xh_p, lig_mask, pocket_mask,
-                             jnp.asarray(s), jnp.asarray(zeta))
-            rewards = self._spsa_rewards_np(z0, lm2)
-            dd = (rewards[:b] - rewards[b:]) / (2.0 * ZETA_GRAD_DENOM)
-            g = jnp.asarray(dd)[:, None, None] * pert
-            grads = g if grads is None else grads + g
-        avg = grads / cfg.num_probes
+        k = cfg.num_probes
+        perts, z0s = probe(params, key, z, xh_p, lig_mask, pocket_mask,
+                           jnp.asarray(s), jnp.asarray(zeta))
+        # one host scoring pass over all k*2B decodes
+        z0_flat = np.asarray(z0s).reshape((k * 2 * b,) + z0s.shape[2:])
+        lm_flat = np.tile(np.asarray(lig_mask), (k * 2, 1))
+        rewards = self._spsa_rewards_np(z0_flat, lm_flat).reshape(k, 2 * b)
+        dd = (rewards[:, :b] - rewards[:, b:]) / (2.0 * ZETA_GRAD_DENOM)
+        avg = jnp.mean(jnp.asarray(dd)[:, :, None, None] * perts, axis=0)
         return apply_fn(z, xh_p, avg, lig_mask, pocket_mask,
                         jnp.asarray(cfg.guidance_scale))
 
@@ -365,28 +374,37 @@ class HostGuidedSampler:
         if cfg.spsa.enabled:
             guided_hi = max(guided_hi, cfg.spsa.start_step)
 
-        # head segment: no guidance possible above guided_hi
-        head_steps = jnp.arange(timesteps - 1, guided_hi, -1)
-        if head_steps.size:
-            key, k_seg = jax.random.split(key)
-            z, xh_p, _, lp_sum = seg(params, adjust_params, k_seg, z, xh_p,
-                                     lig_mask, pocket.mask, head_steps,
-                                     lp_sum)
+        def is_atp(s):
+            return (cfg.atp.enabled and s <= cfg.atp.start_step
+                    and s % cfg.atp.every == 0)
 
-        # guided region: single steps with host-scored events
-        for s in range(min(guided_hi, timesteps - 1), -1, -1):
-            key, k_step = jax.random.split(key)
-            z, xh_p, _, lp_sum = seg(params, adjust_params, k_step, z,
-                                     xh_p, lig_mask, pocket.mask,
-                                     jnp.asarray([s]), lp_sum)
-            if cfg.atp.enabled and s <= cfg.atp.start_step and \
-                    s % cfg.atp.every == 0:
+        def is_spsa(s):
+            return (cfg.spsa.enabled and s <= cfg.spsa.start_step
+                    and s % cfg.spsa.every == 0)
+
+        # run contiguous non-event steps as single scan segments; only a
+        # handful of distinct segment lengths exist, so compiles stay few
+        events = [s for s in range(min(guided_hi, timesteps - 1), -1, -1)
+                  if is_atp(s) or is_spsa(s)]
+        pos = timesteps - 1
+        for se in events + [None]:
+            lo = se if se is not None else 0
+            if pos >= lo:
+                steps = jnp.arange(pos, lo - 1, -1)
+                key, k_seg = jax.random.split(key)
+                z, xh_p, _, lp_sum = seg(params, adjust_params, k_seg, z,
+                                         xh_p, lig_mask, pocket.mask,
+                                         steps, lp_sum)
+                pos = lo - 1
+            if se is None:
+                break
+            s = se
+            if is_atp(s):
                 key, k_atp = jax.random.split(key)
                 z, xh_p = self._run_atp_event(params, k_atp, z, xh_p,
                                               lig_mask, pocket.mask, s,
                                               timesteps)
-            if cfg.spsa.enabled and s <= cfg.spsa.start_step and \
-                    s % cfg.spsa.every == 0:
+            if is_spsa(s):
                 key, k_spsa = jax.random.split(key)
                 zeta = cfg.spsa.zeta0 * s / cfg.spsa.zeta_denom
                 z, xh_p = self._run_spsa_event(params, k_spsa, z, xh_p,
