@@ -51,9 +51,11 @@ def main():
                      compute_dtype=dtype, neighbors=neighbors)
     module = EGNNDynamics(cfg, atom_nf=atom_nf, residue_nf=atom_nf)
     key = jax.random.PRNGKey(0)
-    params = module.init(key, jnp.zeros((1, NL, 13)),
-                         jnp.zeros((1, NP, 13)), jnp.zeros((1,)),
-                         jnp.ones((1, NL)), jnp.ones((1, NP)))
+    # init on CPU: avoids a TPU compile of the init program at startup
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = module.init(key, jnp.zeros((1, NL, 13)),
+                             jnp.zeros((1, NP, 13)), jnp.zeros((1,)),
+                             jnp.ones((1, NL)), jnp.ones((1, NP)))
     core = CondDiffusion(S.make_schedule("polynomial_2", 500, 5e-4),
                          DiffusionConfig(timesteps=500), atom_nf, atom_nf)
     DP = dataset_params["crossdock_full"]

@@ -50,11 +50,14 @@ class DiffNDM:
                                    residue_nf=model_cfg.residue_nf)
         if params is None:
             nl, npk = 8, 16
-            params = self.module.init(
-                key,
-                jnp.zeros((1, nl, 3 + model_cfg.atom_nf)),
-                jnp.zeros((1, npk, 3 + model_cfg.residue_nf)),
-                jnp.zeros((1,)), jnp.ones((1, nl)), jnp.ones((1, npk)))
+            # init on CPU: avoids a TPU compile of the init program
+            with jax.default_device(jax.devices("cpu")[0]):
+                params = self.module.init(
+                    key,
+                    jnp.zeros((1, nl, 3 + model_cfg.atom_nf)),
+                    jnp.zeros((1, npk, 3 + model_cfg.residue_nf)),
+                    jnp.zeros((1,)), jnp.ones((1, nl)),
+                    jnp.ones((1, npk)))
         self.params = params
 
         d = model_cfg.diffusion
