@@ -29,8 +29,11 @@ import os as _os
 
 # Persistent XLA compilation cache: remote TPU compiles through the axon
 # tunnel cost 1-3 min each; caching makes repeated CLI/bench invocations
-# start in seconds. Opt out with DIFFNDM_NO_COMPILE_CACHE=1.
-if _os.environ.get("DIFFNDM_NO_COMPILE_CACHE") != "1":
+# start in seconds. Only enabled under the axon runtime — cached CPU
+# executables can carry stale host-callback pointers and mismatched
+# machine-feature flags. Opt out with DIFFNDM_NO_COMPILE_CACHE=1.
+if _os.environ.get("DIFFNDM_NO_COMPILE_CACHE") != "1" and \
+        _os.environ.get("PALLAS_AXON_POOL_IPS"):
     try:
         import jax as _jax
 

@@ -45,8 +45,10 @@ def supports_io_callback() -> bool:
         return _IO_CALLBACK_OK
     import os
 
-    if os.environ.get("PALLAS_AXON_POOL_IPS"):
-        # axon runtime: callbacks unimplemented; skip the probe
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and \
+            jax.default_backend() != "cpu":
+        # axon runtime: callbacks unimplemented; skip the probe (the env
+        # var alone is not enough — tests re-pin the platform to cpu)
         _IO_CALLBACK_OK = False
         return False
     try:
