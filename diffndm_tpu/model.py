@@ -61,9 +61,19 @@ class DiffNDM:
         self.params = params
 
         d = model_cfg.diffusion
-        schedule = S.make_schedule(d.noise_schedule, d.timesteps,
-                                   d.noise_precision)
-        if d.noise_schedule != "learned":
+        if d.noise_schedule == "learned":
+            # VDM-style monotone gamma network (requires the vlb loss,
+            # en_diffusion.py:30-32); its params are trained alongside the
+            # dynamics by the VLB objective
+            from diffndm_tpu.diffusion.learned_gamma import \
+                make_learned_gamma
+
+            assert d.loss_type == "vlb", \
+                "a learned noise schedule requires the vlb objective"
+            schedule = make_learned_gamma(d.timesteps, key)
+        else:
+            schedule = S.make_schedule(d.noise_schedule, d.timesteps,
+                                       d.noise_precision)
             S.check_norm_values(schedule, d.norm_values[1])
         self.core = CondDiffusion(
             schedule, d, atom_nf=model_cfg.atom_nf,

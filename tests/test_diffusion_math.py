@@ -116,3 +116,21 @@ def test_distribution_nodes():
     lp = dist.log_prob_n1_given_n2(n_lig, jnp.array([50, 60, 70]))
     assert np.all(np.isfinite(np.asarray(lp)))
     assert dist.entropy > 0
+
+
+def test_learned_gamma_monotone():
+    from diffndm_tpu.diffusion.learned_gamma import make_learned_gamma
+
+    lg = make_learned_gamma(100)
+    t = jnp.linspace(0.0, 1.0, 64)
+    g = np.asarray(lg(t))
+    assert np.all(np.diff(g) >= -1e-6), "learned gamma must be monotone"
+    # endpoints pinned to (gamma_0, gamma_1) = (-5, 10) at init
+    np.testing.assert_allclose(g[0], -5.0, atol=1e-4)
+    np.testing.assert_allclose(g[-1], 10.0, atol=1e-4)
+    # GammaSchedule-compatible interface works with the conditional core
+    core = CondDiffusion(lg, DiffusionConfig(timesteps=100, loss_type="vlb"),
+                         atom_nf=10, residue_nf=10)
+    gam = core.schedule(jnp.array([0.3, 0.7]))
+    assert gam.shape == (2,)
+    assert float(gam[1]) > float(gam[0])
