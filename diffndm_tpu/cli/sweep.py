@@ -28,6 +28,9 @@ def main(argv=None):
     p.add_argument("--max_tries", type=int, default=10)
     p.add_argument("--SVDD", type=int, default=0)
     p.add_argument("--SPSA", type=int, default=0)
+    p.add_argument("--batch_pockets", type=int, default=1,
+                   help="pockets generated together in one device batch "
+                        "(amortizes compiles/dispatch; unguided only)")
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -47,6 +50,41 @@ def main(argv=None):
                   if f.endswith(".pdb"))[: args.max_pockets]
     key = jax.random.PRNGKey(args.seed)
     times = []
+
+    def find_sdf(name):
+        sdf = os.path.join(args.test_dir, name + ".sdf")
+        if os.path.exists(sdf):
+            return sdf
+        cands = [f for f in os.listdir(args.test_dir)
+                 if f.startswith(name) and f.endswith(".sdf")]
+        return os.path.join(args.test_dir, cands[0]) if cands else None
+
+    if args.batch_pockets > 1:
+        # multi-pocket device batching (generate_ligands_multi)
+        group = []
+        for pdb in pdbs:
+            sdf = find_sdf(pdb[:-4])
+            if sdf:
+                group.append((os.path.join(args.test_dir, pdb), sdf))
+        for i in range(0, len(group), args.batch_pockets):
+            chunk = group[i:i + args.batch_pockets]
+            t0 = time.time()
+            key, k = jax.random.split(key)
+            out = model.generate_ligands_multi(
+                chunk, args.n_samples, key=k, timesteps=args.timesteps,
+                sanitize=args.sanitize)
+            dt = time.time() - t0
+            for name, mols in out.items():
+                write_sdf(os.path.join(
+                    args.outdir, f"{name[:-4]}_gen.sdf"),
+                    [m for m in mols if m is not None])
+            print(f"batch of {len(chunk)} pockets in {dt:.1f}s "
+                  f"({dt / (len(chunk) * args.n_samples):.2f} s/mol)")
+            times.append(dt)
+        with open(os.path.join(args.outdir, "pocket_times.txt"), "w") as f:
+            for dt in times:
+                f.write(f"batch {dt:.2f}\n")
+        return
     for pdb in pdbs:
         name = pdb[:-4]
         sdf = os.path.join(args.test_dir, name + ".sdf")

@@ -187,6 +187,37 @@ class DiffNDM:
                                         relax_iter=relax_iter)
         return mols, result
 
+    def generate_ligands_multi(self, pdb_refs: Sequence[tuple],
+                               n_samples: int, key=None,
+                               timesteps: Optional[int] = None,
+                               sanitize: bool = False):
+        """Batched generation for MANY pockets in one device batch: pockets
+        are padded to a common bucket and stacked ([n_pockets * n_samples]
+        samples), so one compiled sampler amortizes across the sweep.
+        Returns {pocket_name: [molecules]}.
+
+        The reference runs one subprocess per pocket (my_test.py:90); this
+        replaces that pattern for production sweeps.
+        """
+        from diffndm_tpu.structs import concat_batches
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        pockets, names = [], []
+        for pdb_file, ref_ligand in pdb_refs:
+            pockets.append(self.pocket_from_pdb(pdb_file, ref_ligand,
+                                                n_samples))
+            names.append(os.path.basename(pdb_file))
+        pocket = concat_batches(pockets)
+        k_size, k_sample = jax.random.split(key)
+        sizes = self.sample_ligand_sizes(k_size, pocket)
+        result = self.sampler.sample_given_pocket(
+            k_sample, pocket, sizes, timesteps=timesteps)
+        mols = self.result_to_molecules(result, sanitize=sanitize)
+        out = {}
+        for i, name in enumerate(names):
+            out[name] = mols[i * n_samples:(i + 1) * n_samples]
+        return out
+
     def result_to_molecules(self, result: SampleResult, sanitize=False,
                             largest_frag=False, relax_iter=0):
         mols = []

@@ -82,3 +82,24 @@ def repeat_batch(batch: NodeBatch, k: int) -> NodeBatch:
     """Tile a batch k times along the sample axis ([B] -> [k*B])."""
     return jax.tree.map(lambda a: jnp.tile(a, (k,) + (1,) * (a.ndim - 1)),
                         batch)
+
+
+def pad_nodes(batch: NodeBatch, n_target: int) -> NodeBatch:
+    """Grow the node axis to n_target with zero padding."""
+    n = batch.x.shape[1]
+    if n >= n_target:
+        return batch
+    pad = [(0, 0), (0, n_target - n)]
+    return NodeBatch(x=jnp.pad(batch.x, pad + [(0, 0)]),
+                     h=jnp.pad(batch.h, pad + [(0, 0)]),
+                     mask=jnp.pad(batch.mask, pad))
+
+
+def concat_batches(batches) -> NodeBatch:
+    """Concatenate NodeBatches along the sample axis, padding node counts
+    to the largest bucket (multi-pocket device batching)."""
+    n_max = max(b.x.shape[1] for b in batches)
+    padded = [pad_nodes(b, n_max) for b in batches]
+    return NodeBatch(x=jnp.concatenate([b.x for b in padded]),
+                     h=jnp.concatenate([b.h for b in padded]),
+                     mask=jnp.concatenate([b.mask for b in padded]))

@@ -1,0 +1,67 @@
+"""Multi-pocket batched generation: padding/concat correctness and the
+per-sample pocket-frame restore with heterogeneous pockets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffndm_tpu.config import (DiffusionConfig, EGNNConfig, SampleConfig)
+from diffndm_tpu.constants import dataset_params
+from diffndm_tpu.diffusion import schedules as S
+from diffndm_tpu.diffusion.core import CondDiffusion
+from diffndm_tpu.diffusion.sampler import ConditionalSampler
+from diffndm_tpu.models.dynamics import EGNNDynamics
+from diffndm_tpu.structs import NodeBatch, concat_batches, pad_nodes
+
+ATOM_NF = 10
+T = 8
+DP = dataset_params["crossdock_full"]
+
+
+def test_concat_batches():
+    a = NodeBatch(x=jnp.ones((2, 8, 3)), h=jnp.ones((2, 8, 4)),
+                  mask=jnp.ones((2, 8)))
+    b = NodeBatch(x=jnp.full((3, 12, 3), 2.0), h=jnp.ones((3, 12, 4)),
+                  mask=jnp.ones((3, 12)))
+    out = concat_batches([a, b])
+    assert out.x.shape == (5, 12, 3)
+    # padded region of the first batch is zero (and masked)
+    assert float(out.x[0, 8:].sum()) == 0.0
+    assert float(out.mask[0].sum()) == 8
+    assert float(out.mask[3].sum()) == 12
+
+
+def test_multi_pocket_sampling_frames():
+    """Two pockets at very different locations in one batch: each decoded
+    ligand must land near ITS OWN pocket."""
+    cfg = EGNNConfig(hidden_nf=16, joint_nf=8, n_layers=1, row_tile=16,
+                     attention=False, reflection_equivariant=True)
+    module = EGNNDynamics(cfg, atom_nf=ATOM_NF, residue_nf=ATOM_NF)
+    key = jax.random.PRNGKey(0)
+    NL, NP = 8, 16
+    params = module.init(key, jnp.zeros((1, NL, 13)),
+                         jnp.zeros((1, NP, 13)), jnp.zeros((1,)),
+                         jnp.ones((1, NL)), jnp.ones((1, NP)))
+    core = CondDiffusion(S.make_schedule("polynomial_2", T, 5e-4),
+                         DiffusionConfig(timesteps=T), ATOM_NF, ATOM_NF)
+    sampler = ConditionalSampler(core, module, params, SampleConfig(), DP)
+
+    def make_pocket(center, b):
+        return NodeBatch(
+            x=jax.random.normal(jax.random.PRNGKey(b), (b, NP, 3)) * 2
+            + jnp.asarray(center),
+            h=jax.nn.one_hot(jax.random.randint(
+                jax.random.PRNGKey(b), (b, NP), 0, 4), ATOM_NF),
+            mask=jnp.ones((b, NP)))
+
+    p1 = make_pocket([50.0, 0.0, 0.0], 2)
+    p2 = make_pocket([-50.0, 0.0, 0.0], 2)
+    pocket = concat_batches([p1, p2])
+    res = sampler.sample_given_pocket(jax.random.PRNGKey(1), pocket,
+                                      np.array([5, 6, 5, 6]))
+    x = np.asarray(res.ligand.x)
+    m = np.asarray(res.ligand.mask)
+    coms = (x * m[..., None]).sum(1) / m.sum(1, keepdims=True)
+    assert coms[0, 0] > 20 and coms[1, 0] > 20      # near pocket 1
+    assert coms[2, 0] < -20 and coms[3, 0] < -20    # near pocket 2
