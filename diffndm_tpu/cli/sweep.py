@@ -31,6 +31,13 @@ def main(argv=None):
     p.add_argument("--batch_pockets", type=int, default=1,
                    help="pockets generated together in one device batch "
                         "(amortizes compiles/dispatch; unguided only)")
+    # inpaint sweep (my_test_inpaint.py:38-52 defaults)
+    p.add_argument("--inpaint", action="store_true",
+                   help="inpainting sweep: fragments extracted from each "
+                        "reference ligand (first 1/4 of atoms)")
+    p.add_argument("--add_n_nodes", type=int, default=10)
+    p.add_argument("--resamplings", type=int, default=10)
+    p.add_argument("--frag_fraction", type=float, default=0.25)
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -58,6 +65,54 @@ def main(argv=None):
         cands = [f for f in os.listdir(args.test_dir)
                  if f.startswith(name) and f.endswith(".sdf")]
         return os.path.join(args.test_dir, cands[0]) if cands else None
+
+    if args.inpaint:
+        # inpainting sweep (reference my_test_inpaint.py): fragment of each
+        # test ligand fixed, rest regenerated
+        import tempfile
+
+        from diffndm_tpu.chem.io import read_sdf
+        from diffndm_tpu.cli.fix_ligand import extract_fragment
+        from diffndm_tpu.cli.inpaint import prepare_inpaint_ligand
+
+        timesteps = args.timesteps or 60
+        for pdb in pdbs:
+            name = pdb[:-4]
+            sdf = find_sdf(name)
+            if sdf is None:
+                continue
+            t0 = time.time()
+            try:
+                frag = extract_fragment(read_sdf(sdf)[0],
+                                        args.frag_fraction)
+                with tempfile.NamedTemporaryFile(
+                        suffix=".sdf", delete=False) as tmp:
+                    from diffndm_tpu.chem.io import write_sdf as _w
+
+                    _w(tmp.name, [frag])
+                    frag_path = tmp.name
+                ligand, lig_fixed = prepare_inpaint_ligand(
+                    model, frag_path, args.n_samples, args.add_n_nodes)
+                pocket = model.pocket_from_pdb(
+                    os.path.join(args.test_dir, pdb), sdf, args.n_samples)
+                key, k = jax.random.split(key)
+                res = model.inpaint_sampler.inpaint(
+                    k, ligand, lig_fixed, pocket, timesteps=timesteps,
+                    resamplings=args.resamplings, svdd=bool(args.SVDD),
+                    spsa=bool(args.SPSA))
+                mols = model.result_to_molecules(
+                    res, sanitize=args.sanitize)
+                write_sdf(os.path.join(args.outdir, f"{name}_inpaint.sdf"),
+                          [m for m in mols if m is not None])
+                dt = time.time() - t0
+                times.append(dt)
+                print(f"{name}: inpainted {len(mols)} in {dt:.1f}s")
+            except Exception as e:
+                print(f"[skip] {name}: {e}")
+        with open(os.path.join(args.outdir, "pocket_times.txt"), "w") as f:
+            for dt in times:
+                f.write(f"{dt:.2f}\n")
+        return
 
     if args.batch_pockets > 1:
         # multi-pocket device batching (generate_ligands_multi)

@@ -207,6 +207,16 @@ class InpaintSampler:
                 center: str = "ligand") -> SampleResult:
         timesteps = timesteps or self.core.schedule.timesteps
         spsa = self.cfg.spsa.enabled if spsa is None else spsa
+        if svdd or spsa:
+            from diffndm_tpu.diffusion.host_guided import \
+                supports_io_callback
+
+            if not supports_io_callback():
+                raise NotImplementedError(
+                    "guided inpainting (svdd/spsa) needs host-callback "
+                    "support, which this runtime lacks; run unguided or "
+                    "on a standard TPU/CPU runtime (host-orchestrated "
+                    "inpainting is on the roadmap)")
         ck = (timesteps, resamplings, bool(svdd), bool(spsa), center,
               ligand.x.shape, pocket.x.shape)
         if ck not in self._cache:
