@@ -385,7 +385,12 @@ class EGNN(nn.Module):
         Returns (h_out [B, N, out_node_nf], x_out [B, N, 3]).
         """
         cfg = self.cfg
-        coords_range_layer = float(cfg.coords_range) / cfg.n_layers
+        # The reference computes coords_range/n_layers (egnn_new.py:197) but
+        # that value is dead code: EquivariantBlock receives the UNDIVIDED
+        # coords_range (egnn_new.py:218) and uses float(coords_range)
+        # (egnn_new.py:143). Match the effective behavior: full range per
+        # block (tanh(phi)*15 with the defaults, not tanh(phi)*2.5).
+        coords_range_layer = float(cfg.coords_range)
         dist_nf = sinusoid_dims() if cfg.sin_embedding else 1
         edge_nf = 2 * dist_nf + self.in_edge_nf
 
