@@ -90,6 +90,14 @@ class ATPConfig:
     # that behaviour; False uses the presumably-intended (250-s)/250.
     mix_denom: float = 250.0
     compat_precedence: bool = True
+    # Selection scope.  False (reference semantics, conditional_model.py:1205)
+    # runs ONE top-B over all G*B candidates — population-level selection that
+    # can keep several descendants of a good sample and drop a bad sample
+    # entirely; per-row state (masks, pocket identity) is gathered along.
+    # True selects the best of the G branches independently per batch row —
+    # required for multi-pocket batches, where global selection would move
+    # ligands between pockets.
+    per_sample: bool = False
     # reward weights (my_reward_for_SVDD, :644-650):
     # 2*QED + 2*SA + sigmoid-window(LogP, k, [lo, hi]) + Lip/5
     w_qed: float = 2.0

@@ -112,8 +112,8 @@ class HostGuidedSampler:
     def _segment(self, timesteps: int, optimize: bool):
         core = self.core
 
-        def fn(params, adjust_params, key, z, xh_p, lig_mask, pocket_mask,
-               steps, lp_sum):
+        def fn(params, adjust_params, run_key, z, xh_p, lig_mask,
+               pocket_mask, steps, lp_sum):
             eps_fn = self._eps_fn(params)
             adjust_fn = None
             if self.adjust_module is not None and optimize:
@@ -121,18 +121,21 @@ class HostGuidedSampler:
                     adjust_params, zz)
 
             def step(carry, s):
-                z, xh_p, key, lp = carry
-                key, k = jax.random.split(key)
+                z, xh_p, lp = carry
+                # identical derivation to the fused scan (sampler.py): the
+                # transition key is split slot 0 of fold_in(run_key, s)
+                k1 = jax.random.split(
+                    jax.random.fold_in(run_key, s), 4)[0]
                 s_norm = s.astype(jnp.float32) / timesteps
                 t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
                 z, xh_p, lpa, _ = core.sample_p_zs_given_zt(
-                    k, s_norm, t_norm, z, xh_p, lig_mask, pocket_mask,
+                    k1, s_norm, t_norm, z, xh_p, lig_mask, pocket_mask,
                     eps_fn, adjust_fn=adjust_fn)
-                return (z, xh_p, key, lp + lpa), None
+                return (z, xh_p, lp + lpa), None
 
-            (z, xh_p, key, lp_sum), _ = jax.lax.scan(
-                step, (z, xh_p, key, lp_sum), steps)
-            return z, xh_p, key, lp_sum
+            (z, xh_p, lp_sum), _ = jax.lax.scan(
+                step, (z, xh_p, lp_sum), steps)
+            return z, xh_p, lp_sum
 
         return jax.jit(fn)
 
@@ -143,6 +146,8 @@ class HostGuidedSampler:
             eps_fn = self._eps_fn(params)
             s_norm = s.astype(jnp.float32) / timesteps
             t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
+            # identical key derivation to atp_prune (guidance/atp.py)
+            k_branch, _ = jax.random.split(key)
 
             def branch(bk):
                 z_b, xh_b, _, _ = core.sample_p_zs_given_zt(
@@ -150,7 +155,8 @@ class HostGuidedSampler:
                     eps_fn)
                 return z_b, xh_b
 
-            zb, xhb = jax.lax.map(branch, jax.random.split(key, g_extra))
+            zb, xhb = jax.lax.map(branch,
+                                  jax.random.split(k_branch, g_extra))
             z_groups = jnp.concatenate([z[None], zb], axis=0)
             xh_groups = jnp.concatenate([xh_p[None], xhb], axis=0)
 
@@ -164,23 +170,65 @@ class HostGuidedSampler:
 
         return jax.jit(fn)
 
+    def _hybrid_branches(self, timesteps: int, g_extra: int):
+        """Branch transitions for the hybrid event with hybrid_spsa_prune's
+        exact key derivation: bks = split(split(key)[0], g_extra), branch i
+        uses split(bks[i])[0] for the transition (slot [1] goes to that
+        branch's SPSA update, performed by the caller)."""
+        core = self.core
+
+        def fn(params, key, z, xh_p, lig_mask, pocket_mask, s):
+            eps_fn = self._eps_fn(params)
+            s_norm = s.astype(jnp.float32) / timesteps
+            t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
+            k_branch, _ = jax.random.split(key)
+            bks = jax.random.split(k_branch, g_extra)
+
+            def branch(bk):
+                k1, k2 = jax.random.split(bk)
+                z_b, xh_b, _, _ = core.sample_p_zs_given_zt(
+                    k1, s_norm, t_norm, z, xh_p, lig_mask, pocket_mask,
+                    eps_fn)
+                return z_b, xh_b, k2
+
+            zb, xhb, k2s = jax.lax.map(branch, bks)
+            return zb, xhb, k2s
+
+        return jax.jit(fn)
+
     def _atp_select(self):
         core = self.core
-        n_dims = core.n_dims
+        atp_cfg = self.cfg.atp
 
         def fn(z_groups, xh_groups, rewards, lig_mask, pocket_mask):
+            from diffndm_tpu.guidance.atp import (gather_selected,
+                                                  select_candidates)
+
             g, b = z_groups.shape[0], z_groups.shape[1]
             flat = lambda a: a.reshape((g * b,) + a.shape[2:])
-            _, top_idx = jax.lax.top_k(rewards, b)
-            z_new = flat(z_groups)[top_idx]
-            xh_new = flat(xh_groups)[top_idx]
-            zx, px = remove_mean_ligand(z_new[..., :n_dims],
-                                        xh_new[..., :n_dims], lig_mask,
-                                        pocket_mask)
-            z_new = jnp.concatenate([zx, z_new[..., n_dims:]], -1) * \
-                lig_mask[..., None]
-            xh_new = jnp.concatenate([px, xh_new[..., n_dims:]], -1)
-            return z_new, xh_new
+            sel_idx = select_candidates(rewards, atp_cfg, b)
+            z_new, xh_new, lm_new, pm_new = gather_selected(
+                sel_idx, flat(z_groups), flat(xh_groups), lig_mask,
+                pocket_mask, core)
+            return z_new, xh_new, lm_new, pm_new, sel_idx
+
+        return jax.jit(fn)
+
+    def _lookahead_groups(self, timesteps: int):
+        """x0 projection of a [G, B, ...] candidate stack (one jitted
+        dispatch), for the hybrid event's mixed reward."""
+        core = self.core
+
+        def fn(params, z_groups, xh_groups, lig_mask, pocket_mask, s):
+            eps_fn = self._eps_fn(params)
+            t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
+
+            def one(zg):
+                zz, xx = zg
+                return core.to_x0(zz, xx, t_norm, lig_mask, pocket_mask,
+                                  eps_fn)
+
+            return jax.lax.map(one, (z_groups, xh_groups))
 
         return jax.jit(fn)
 
@@ -239,14 +287,13 @@ class HostGuidedSampler:
     def _decode(self, timesteps: int):
         core = self.core
 
-        def fn(params, key, z, xh_p, lig_mask, pocket_mask, pocket_x):
+        def fn(params, key, z, xh_p, lig_mask, pocket_mask, com_before):
+            """com_before: [B, 1, 3] original pocket COM per (origin) row."""
             eps_fn = self._eps_fn(params)
             x_lig, h_lig, x_pocket, h_pocket = core.sample_p_xh_given_z0(
                 key, z, xh_p, lig_mask, pocket_mask, eps_fn)
             x_lig, x_pocket = remove_mean_ligand(x_lig, x_pocket, lig_mask,
                                                  pocket_mask)
-            com_before = masked_mean(pocket_x, pocket_mask, axis=1,
-                                     keepdims=True)
             com_after = masked_mean(x_pocket, pocket_mask, axis=1,
                                     keepdims=True)
             shift = com_before - com_after
@@ -326,32 +373,37 @@ class HostGuidedSampler:
     def _run_hybrid_event(self, params, key, z, xh_p, lig_mask,
                           pocket_mask, s, zeta, timesteps):
         cfg_a, cfg_s = self.cfg.atp, self.cfg.spsa
-        step_one = self._get(("atp_cand", timesteps, cfg_a.num_groups - 1),
-                             partial(self._atp_candidates, timesteps,
-                                     cfg_a.num_groups - 1))
-        # branches (the candidate builder also gives us the x0 decodes of
-        # the un-SPSA'd branches; we re-run SPSA on each branch below)
-        z_groups, xh_groups, _ = step_one(
-            params, key, z, xh_p, lig_mask, pocket_mask, jnp.asarray(s))
+        g_extra = cfg_a.num_groups - 1
+        branches = self._get(("hybrid_branch", timesteps, g_extra),
+                             partial(self._hybrid_branches, timesteps,
+                                     g_extra))
+        zb, xhb, k2s = branches(params, key, z, xh_p, lig_mask,
+                                pocket_mask, jnp.asarray(s))
         zs, xhs = [z], [xh_p]
-        for i in range(1, cfg_a.num_groups):
+        for i in range(g_extra):
+            # multi-scale quirk: extra branches i >= 2 use zeta0
+            # (hybrid_spsa_prune / conditional_model.py:1285-1286)
             bzeta = cfg_s.zeta0 if i >= 2 else zeta
-            k_i = jax.random.fold_in(key, i)
             z_i, xh_i = self._run_spsa_event(
-                params, k_i, z_groups[i], xh_groups[i], lig_mask,
+                params, k2s[i], zb[i], xhb[i], lig_mask,
                 pocket_mask, s, bzeta, timesteps)
             zs.append(z_i)
             xhs.append(xh_i)
         z_groups = jnp.stack(zs)
         xh_groups = jnp.stack(xhs)
-        # score and select like an ATP event (z-decode only + x0 via the
-        # candidate builder is an extra forward; use z for both terms of
-        # the mixed reward at this late step)
+        # score and select exactly like the fused hybrid_spsa_prune: real
+        # x0 lookahead of the SPSA'd ensemble for the first mixed-reward
+        # term, z decode for the second
+        look = self._get(("hybrid_look", timesteps),
+                         partial(self._lookahead_groups, timesteps))
+        z0_groups = look(params, z_groups, xh_groups, lig_mask, pocket_mask,
+                         jnp.asarray(s))
         g, b = z_groups.shape[0], z_groups.shape[1]
         lm_f = np.tile(np.asarray(lig_mask), (g, 1))
         flat = lambda a: np.asarray(a).reshape((g * b,) + a.shape[2:])
         r_z = self._svdd_rewards_np(flat(z_groups), lm_f)
-        mixed = jnp.asarray(self._mixed_reward(r_z, r_z, float(s)))
+        r_x0 = self._svdd_rewards_np(flat(z0_groups), lm_f)
+        mixed = jnp.asarray(self._mixed_reward(r_x0, r_z, float(s)))
         select = self._get("atp_select", self._atp_select)
         return select(z_groups, xh_groups, mixed, lig_mask, pocket_mask)
 
@@ -364,6 +416,10 @@ class HostGuidedSampler:
         init = self._get("init", self._normalize_pocket)
         z, xh_p = init(params, k_init, pocket.x, pocket.h, pocket.mask,
                        lig_mask)
+        # ATP selection may replicate rows (global top-B); carry masks and
+        # the origin-row map alongside the state
+        lm, pm = lig_mask, pocket.mask
+        row_src = np.arange(lig_mask.shape[0])
 
         seg = self._get(("seg", timesteps, optimize),
                         partial(self._segment, timesteps, optimize))
@@ -388,41 +444,44 @@ class HostGuidedSampler:
         # handful of distinct segment lengths exist, so compiles stay few
         events = [s for s in range(min(guided_hi, timesteps - 1), -1, -1)
                   if is_atp(s) or is_spsa(s)]
+        run_key = key  # same role as the fused sampler's run_key
+
+        def step_keys(s):
+            return jax.random.split(jax.random.fold_in(run_key, s), 4)
+
         pos = timesteps - 1
         for se in events + [None]:
             lo = se if se is not None else 0
             if pos >= lo:
                 steps = jnp.arange(pos, lo - 1, -1)
-                key, k_seg = jax.random.split(key)
-                z, xh_p, _, lp_sum = seg(params, adjust_params, k_seg, z,
-                                         xh_p, lig_mask, pocket.mask,
-                                         steps, lp_sum)
+                z, xh_p, lp_sum = seg(params, adjust_params, run_key, z,
+                                      xh_p, lm, pm, steps, lp_sum)
                 pos = lo - 1
             if se is None:
                 break
             s = se
             if is_atp(s):
-                key, k_atp = jax.random.split(key)
-                z, xh_p = self._run_atp_event(params, k_atp, z, xh_p,
-                                              lig_mask, pocket.mask, s,
-                                              timesteps)
+                k_atp = step_keys(s)[1]
+                z, xh_p, lm, pm, sel = self._run_atp_event(
+                    params, k_atp, z, xh_p, lm, pm, s, timesteps)
+                row_src = row_src[np.asarray(sel) % len(row_src)]
             if is_spsa(s):
-                key, k_spsa = jax.random.split(key)
+                k_spsa = step_keys(s)[2]
                 zeta = cfg.spsa.zeta0 * s / cfg.spsa.zeta_denom
                 z, xh_p = self._run_spsa_event(params, k_spsa, z, xh_p,
-                                               lig_mask, pocket.mask, s,
-                                               zeta, timesteps)
+                                               lm, pm, s, zeta, timesteps)
                 if cfg.spsa.hybrid_prune and s == cfg.spsa.start_step:
-                    key, k_h = jax.random.split(key)
-                    z, xh_p = self._run_hybrid_event(
-                        params, k_h, z, xh_p, lig_mask, pocket.mask, s,
-                        zeta, timesteps)
+                    k_h = step_keys(s)[3]
+                    z, xh_p, lm, pm, sel = self._run_hybrid_event(
+                        params, k_h, z, xh_p, lm, pm, s, zeta, timesteps)
+                    row_src = row_src[np.asarray(sel) % len(row_src)]
 
-        key, k_dec = jax.random.split(key)
+        k_dec = jax.random.fold_in(run_key, timesteps + 1)
         decode = self._get(("decode", timesteps),
                            partial(self._decode, timesteps))
+        com_before = masked_mean(pocket.x, pocket.mask, axis=1,
+                                 keepdims=True)[row_src]
         x_lig, h_lig, x_pocket, h_pocket = decode(
-            params, k_dec, z, xh_p, lig_mask, pocket.mask, pocket.x)
-        n_guided = max(0, min(guided_hi, timesteps - 1) + 1)
+            params, k_dec, z, xh_p, lm, pm, com_before)
         avg_lp = lp_sum / max(timesteps, 1)
-        return x_lig, h_lig, x_pocket, h_pocket, avg_lp
+        return x_lig, h_lig, x_pocket, h_pocket, avg_lp, lm, pm

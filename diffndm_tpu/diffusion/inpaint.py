@@ -48,6 +48,7 @@ def build_inpaint_run(core: CondDiffusion, eps_fn_builder, cfg: SampleConfig,
     def run(params, key, lig_x, lig_h, lig_mask, lig_fixed, pocket_x,
             pocket_h, pocket_mask):
         eps_fn = eps_fn_builder(params)
+        pocket_mask0 = pocket_mask  # pre-selection masks for frame restore
         nx, nh = core.cfg.norm_values
         bh = core.cfg.norm_biases[1]
         ml = lig_mask[..., None]
@@ -78,104 +79,136 @@ def build_inpaint_run(core: CondDiffusion, eps_fn_builder, cfg: SampleConfig,
         key, k0 = jax.random.split(key)
         z_lig, xh_pocket = core.sample_normal_zero_com(
             k0, mu, xh0_pocket, jnp.ones((b,)), lig_mask, pocket_mask)
+        # position-based RNG: keys derive from (run_key, s, u), matching
+        # the discipline in sampler.py/host_guided.py so a host-orchestrated
+        # RePaint loop derives identical keys
+        run_key = key
 
-        def fixed_mean(x):
-            fsum = jnp.maximum(jnp.sum(fixed, axis=1, keepdims=True), 1e-9)
-            return jnp.sum(x * fixed, axis=1, keepdims=True) / fsum
-
-        def u_body(carry, u):
-            z, xh_p, key, s = carry
-            key, k1, k2, k3, k4 = jax.random.split(key, 5)
-            s_norm = s.astype(jnp.float32) / timesteps
-            t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
-            gamma_s = core.schedule(jnp.broadcast_to(s_norm, (b,)))
-            gamma_t = core.schedule(jnp.broadcast_to(t_norm, (b,)))
-
-            z_unknown, xh_p, _, _ = core.sample_p_zs_given_zt(
-                k1, s_norm, t_norm, z, xh_p, lig_mask, pocket_mask, eps_fn)
-
-            if spsa_enabled:
-                active = ((s >= icfg.spsa_low) & (s <= icfg.spsa_high)
-                          & (u < 1))
-                zeta = cfg.spsa.zeta0 * s.astype(jnp.float32) / \
-                    icfg.spsa_zeta_denom
-                # reference quirk: the SPSA update runs on the pre-step z_t
-                # and *replaces* the denoised unknown part (:1579-1585)
-                z_unknown, xh_p = jax.lax.cond(
-                    active,
-                    lambda args: spsa_update(
-                        k2, core, eps_fn, oracle, args[0], args[1],
-                        lig_mask, pocket_mask, t_norm, zeta, cfg.spsa),
-                    lambda args: args,
-                    (z, xh_p))
-
-            # re-noise known part from the (drift-compensated) input
-            com_pocket = masked_mean(xh_p[..., :n_dims], pocket_mask,
-                                     axis=1, keepdims=True)
-            xh_ligand = jnp.concatenate(
-                [(l_x + (com_pocket - com_pocket_0)) * ml, l_h], -1)
-            z_known, xh_p, _ = core.noised_representation(
-                k3, xh_ligand, xh_p, lig_mask, pocket_mask, gamma_s)
-
-            # align fixed-atom COMs, shift known + pocket (:1600-1608)
-            dx = fixed_mean(z_unknown[..., :n_dims]) \
-                - fixed_mean(z_known[..., :n_dims])
-            z_known = jnp.concatenate(
-                [(z_known[..., :n_dims] + dx) * ml, z_known[..., n_dims:]],
-                -1)
-            xh_p = jnp.concatenate(
-                [(xh_p[..., :n_dims] + dx) * mp, xh_p[..., n_dims:]], -1)
-
-            z = z_known * fixed + z_unknown * (1.0 - fixed)
-            z = z * ml
-
-            # re-noise for the next resampling iteration (:1614-1618)
-            def renoise(args):
-                z_, xh_ = args
-                return core.sample_p_zt_given_zs(
-                    k4, z_, xh_, lig_mask, pocket_mask, gamma_t, gamma_s)
-
-            z, xh_p = jax.lax.cond(u < resamplings - 1, renoise,
-                                   lambda a: a, (z, xh_p))
-            return (z, xh_p, key, s), None
-
+        # ATP selection can replicate candidates across rows (global
+        # top-B); every per-row quantity the loop consumes — masks, the
+        # fixed-fragment mask, the clean fragment coords/features, the
+        # initial pocket COM and the origin-row map — therefore travels in
+        # the scan carry and is gathered at prune events.
         def s_body(carry, s):
-            z, xh_p, key = carry
-            (z, xh_p, key, _), _ = jax.lax.scan(
-                u_body, (z, xh_p, key, s),
+            (z, xh_p, lm, pm, fixed_c, l_x_c, l_h_c, com_p0_c,
+             row_src) = carry
+            k_s = jax.random.fold_in(run_key, s)
+            mlc = lm[..., None]
+            mpc = pm[..., None]
+
+            def fixed_mean(x):
+                fsum = jnp.maximum(
+                    jnp.sum(fixed_c, axis=1, keepdims=True), 1e-9)
+                return jnp.sum(x * fixed_c, axis=1, keepdims=True) / fsum
+
+            def u_body(ucarry, u):
+                z, xh_p = ucarry
+                k1, k2, k3, k4 = jax.random.split(
+                    jax.random.fold_in(k_s, u), 4)
+                s_norm = s.astype(jnp.float32) / timesteps
+                t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
+                gamma_s = core.schedule(jnp.broadcast_to(s_norm, (b,)))
+                gamma_t = core.schedule(jnp.broadcast_to(t_norm, (b,)))
+
+                z_unknown, xh_p, _, _ = core.sample_p_zs_given_zt(
+                    k1, s_norm, t_norm, z, xh_p, lm, pm, eps_fn)
+
+                if spsa_enabled:
+                    active = ((s >= icfg.spsa_low) & (s <= icfg.spsa_high)
+                              & (u < 1))
+                    zeta = cfg.spsa.zeta0 * s.astype(jnp.float32) / \
+                        icfg.spsa_zeta_denom
+                    # reference quirk: the SPSA update runs on the pre-step
+                    # z_t and *replaces* the denoised unknown (:1579-1585)
+                    z_unknown, xh_p = jax.lax.cond(
+                        active,
+                        lambda args: spsa_update(
+                            k2, core, eps_fn, oracle, args[0], args[1],
+                            lm, pm, t_norm, zeta, cfg.spsa),
+                        lambda args: args,
+                        (z, xh_p))
+
+                # re-noise known part from the (drift-compensated) input
+                com_pocket = masked_mean(xh_p[..., :n_dims], pm,
+                                         axis=1, keepdims=True)
+                xh_ligand = jnp.concatenate(
+                    [(l_x_c + (com_pocket - com_p0_c)) * mlc, l_h_c], -1)
+                z_known, xh_p, _ = core.noised_representation(
+                    k3, xh_ligand, xh_p, lm, pm, gamma_s)
+
+                # align fixed-atom COMs, shift known + pocket (:1600-1608)
+                dx = fixed_mean(z_unknown[..., :n_dims]) \
+                    - fixed_mean(z_known[..., :n_dims])
+                z_known = jnp.concatenate(
+                    [(z_known[..., :n_dims] + dx) * mlc,
+                     z_known[..., n_dims:]], -1)
+                xh_p = jnp.concatenate(
+                    [(xh_p[..., :n_dims] + dx) * mpc, xh_p[..., n_dims:]],
+                    -1)
+
+                z = z_known * fixed_c + z_unknown * (1.0 - fixed_c)
+                z = z * mlc
+
+                # re-noise for the next resampling iteration (:1614-1618)
+                def renoise(args):
+                    z_, xh_ = args
+                    return core.sample_p_zt_given_zs(
+                        k4, z_, xh_, lm, pm, gamma_t, gamma_s)
+
+                z, xh_p = jax.lax.cond(u < resamplings - 1, renoise,
+                                       lambda a: a, (z, xh_p))
+                return (z, xh_p), None
+
+            (z, xh_p), _ = jax.lax.scan(
+                u_body, (z, xh_p),
                 jnp.arange(resamplings, dtype=jnp.int32))
 
             if atp_enabled:
-                key, k_atp = jax.random.split(key)
+                k_atp = jax.random.fold_in(k_s, resamplings + 1)
                 s_norm = s.astype(jnp.float32) / timesteps
                 t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
                 active = (s <= icfg.atp_start_step) & \
                          (s % icfg.atp_every == 0)
-                z, xh_p = jax.lax.cond(
-                    active,
-                    lambda args: atp_prune(
-                        k_atp, core, eps_fn, oracle, args[0], args[1],
-                        lig_mask, pocket_mask, s_norm, t_norm, s, cfg.atp),
-                    lambda args: args,
-                    (z, xh_p))
-            return (z, xh_p, key), None
 
-        key, k_scan = jax.random.split(key)
+                def do_atp(args):
+                    z_, xh_, lm_, pm_, fx_, lx_, lh_, cp_, rs_ = args
+                    z_, xh_, lm_, pm_, sel = atp_prune(
+                        k_atp, core, eps_fn, oracle, z_, xh_, lm_, pm_,
+                        s_norm, t_norm, s, cfg.atp)
+                    rs = sel % b
+                    return (z_, xh_, lm_, pm_, fx_[rs], lx_[rs], lh_[rs],
+                            cp_[rs], rs_[rs])
+
+                (z, xh_p, lm, pm, fixed_c, l_x_c, l_h_c, com_p0_c,
+                 row_src) = jax.lax.cond(
+                    active, do_atp, lambda args: args,
+                    (z, xh_p, lm, pm, fixed_c, l_x_c, l_h_c, com_p0_c,
+                     row_src))
+            return (z, xh_p, lm, pm, fixed_c, l_x_c, l_h_c, com_p0_c,
+                    row_src), None
+
         steps = jnp.arange(timesteps - 1, -1, -1)
-        (z_lig, xh_pocket, _), _ = jax.lax.scan(
-            s_body, (z_lig, xh_pocket, k_scan), steps)
+        (z_lig, xh_pocket, lig_mask, pocket_mask, fixed, l_x, l_h,
+         com_pocket_0, row_src), _ = jax.lax.scan(
+            s_body,
+            (z_lig, xh_pocket, lig_mask, pocket_mask, fixed, l_x, l_h,
+             com_pocket_0, jnp.arange(b)),
+            steps)
+        ml = lig_mask[..., None]
+        mp = pocket_mask[..., None]
 
-        key, k_dec = jax.random.split(key)
+        k_dec = jax.random.fold_in(run_key, timesteps + 1)
         x_lig, h_lig, x_pocket, h_pocket = core.sample_p_xh_given_z0(
             k_dec, z_lig, xh_pocket, lig_mask, pocket_mask, eps_fn)
 
-        # back to the original pocket frame
+        # back to the original pocket frame (row_src maps replicated rows
+        # to their origin pocket)
         com_after = masked_mean(x_pocket, pocket_mask, axis=1, keepdims=True)
-        shift = masked_mean(pocket_x, pocket_mask, axis=1, keepdims=True) \
-            - com_after
+        shift = masked_mean(pocket_x, pocket_mask0, axis=1,
+                            keepdims=True)[row_src] - com_after
         x_lig = (x_lig + shift) * ml
         x_pocket = (x_pocket + shift) * mp
-        return x_lig, h_lig, x_pocket, h_pocket
+        return x_lig, h_lig, x_pocket, h_pocket, lig_mask, pocket_mask
 
     return jax.jit(run)
 
@@ -224,11 +257,11 @@ class InpaintSampler:
                 self.core, self._eps_builder, self.cfg, self.oracle,
                 timesteps, resamplings, spsa, svdd, center)
         run = self._cache[ck]
-        x_lig, h_lig, x_pocket, h_pocket = run(
+        x_lig, h_lig, x_pocket, h_pocket, lm_out, pm_out = run(
             self.params, key, ligand.x, ligand.h, ligand.mask,
             jnp.asarray(lig_fixed, jnp.float32), pocket.x, pocket.h,
             pocket.mask)
         return SampleResult(
-            ligand=NodeBatch(x=x_lig, h=h_lig, mask=ligand.mask),
-            pocket=NodeBatch(x=x_pocket, h=h_pocket, mask=pocket.mask),
+            ligand=NodeBatch(x=x_lig, h=h_lig, mask=lm_out),
+            pocket=NodeBatch(x=x_pocket, h=h_pocket, mask=pm_out),
             avg_log_prob=jnp.zeros(()), rl_traj=None)

@@ -82,6 +82,7 @@ class ConditionalSampler:
 
         def run(params, adjust_params, key, pocket_x, pocket_h, pocket_mask,
                 lig_mask):
+            pocket_mask0 = pocket_mask  # pre-selection masks for the frame
             eps_fn = self.eps_fn(params)
             adjust_fn = None
             if self.adjust_module is not None and optimize:
@@ -104,17 +105,28 @@ class ConditionalSampler:
             key, k_init = jax.random.split(key)
             z_lig, xh_pocket = init_ligand_from_pocket(
                 k_init, core, p_x, p_h, lig_mask, pocket_mask)
+            # RNG discipline: every step's keys derive from fold_in(key, s)
+            # — position-based, not carry-based — so the host-orchestrated
+            # sampler (host_guided.py) derives IDENTICAL keys and the two
+            # modes are directly comparable under guidance.
+            run_key = key
+
+            b = lig_mask.shape[0]
 
             def step(carry, s):
-                z, xh_p, key, lp_sum, count = carry
-                key, k1, k2, k3 = jax.random.split(key, 4)
+                # ATP selection can replicate candidates across batch rows
+                # (global top-B, reference conditional_model.py:1205), so the
+                # per-row masks and the origin-row map travel in the carry.
+                z, xh_p, lm, pm, row_src, lp_sum, count = carry
+                k1, k2, k3, k4 = jax.random.split(
+                    jax.random.fold_in(run_key, s), 4)
                 s_norm = s.astype(jnp.float32) / timesteps
                 t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
 
                 # pre-adjustment (z_t, eps_hat) feed the RL surrogate
                 z_pre = z
                 z, xh_p, lp, eps_pre = core.sample_p_zs_given_zt(
-                    k1, s_norm, t_norm, z, xh_p, lig_mask, pocket_mask,
+                    k1, s_norm, t_norm, z, xh_p, lm, pm,
                     eps_fn, adjust_fn=adjust_fn)
                 lp_sum = lp_sum + lp
                 count = count + 1.0
@@ -122,14 +134,18 @@ class ConditionalSampler:
                 if cfg.atp.enabled:
                     active = (s <= cfg.atp.start_step) & \
                              (s % cfg.atp.every == 0)
-                    z, xh_p = jax.lax.cond(
-                        active,
-                        lambda args: atp_prune(
-                            k2, core, eps_fn, oracle, args[0], args[1],
-                            lig_mask, pocket_mask, s_norm, t_norm, s,
-                            cfg.atp, adjust_fn=adjust_fn),
-                        lambda args: args,
-                        (z, xh_p))
+
+                    def do_atp(args):
+                        z_, xh_, lm_, pm_, rs_ = args
+                        z_, xh_, lm_, pm_, sel = atp_prune(
+                            k2, core, eps_fn, oracle, z_, xh_, lm_, pm_,
+                            s_norm, t_norm, s, cfg.atp,
+                            adjust_fn=adjust_fn)
+                        return z_, xh_, lm_, pm_, rs_[sel % b]
+
+                    z, xh_p, lm, pm, row_src = jax.lax.cond(
+                        active, do_atp, lambda args: args,
+                        (z, xh_p, lm, pm, row_src))
 
                 if cfg.spsa.enabled:
                     active = (s <= cfg.spsa.start_step) & \
@@ -140,7 +156,7 @@ class ConditionalSampler:
                         active,
                         lambda args: spsa_update(
                             k3, core, eps_fn, oracle, args[0], args[1],
-                            lig_mask, pocket_mask, t_norm, zeta, cfg.spsa),
+                            lm, pm, t_norm, zeta, cfg.spsa),
                         lambda args: args,
                         (z, xh_p))
                     if cfg.spsa.hybrid_prune:
@@ -149,30 +165,36 @@ class ConditionalSampler:
                         from diffndm_tpu.guidance.atp import \
                             hybrid_spsa_prune
 
-                        key, k4 = jax.random.split(key)
-                        z, xh_p = jax.lax.cond(
-                            s == cfg.spsa.start_step,
-                            lambda args: hybrid_spsa_prune(
-                                k4, core, eps_fn, oracle, args[0], args[1],
-                                lig_mask, pocket_mask, s_norm, t_norm, s,
-                                cfg.atp, cfg.spsa, zeta,
-                                adjust_fn=adjust_fn),
-                            lambda args: args,
-                            (z, xh_p))
+                        def do_hybrid(args):
+                            z_, xh_, lm_, pm_, rs_ = args
+                            z_, xh_, lm_, pm_, sel = hybrid_spsa_prune(
+                                k4, core, eps_fn, oracle, z_, xh_, lm_,
+                                pm_, s_norm, t_norm, s, cfg.atp, cfg.spsa,
+                                zeta, adjust_fn=adjust_fn)
+                            return z_, xh_, lm_, pm_, rs_[sel % b]
+
+                        # reference nests the hybrid inside the SPSA-active
+                        # window (conditional_model.py:1243,1261)
+                        z, xh_p, lm, pm, row_src = jax.lax.cond(
+                            active & (s == cfg.spsa.start_step), do_hybrid,
+                            lambda args: args, (z, xh_p, lm, pm, row_src))
 
                 if self.frame_tap is not None:
                     jax.debug.callback(self.frame_tap, s, z, xh_p,
-                                       lig_mask, ordered=True)
+                                       lm, ordered=True)
 
                 ys = (z_pre, eps_pre) if collect_rl else None
-                return (z, xh_p, key, lp_sum, count), ys
+                return (z, xh_p, lm, pm, row_src, lp_sum, count), ys
 
             steps = jnp.arange(timesteps - 1, -1, -1)
-            (z_lig, xh_pocket, key, lp_sum, count), traj = jax.lax.scan(
-                step, (z_lig, xh_pocket, key, jnp.zeros(()), jnp.zeros(())),
+            row_src0 = jnp.arange(b)
+            (z_lig, xh_pocket, lig_mask, pocket_mask, row_src, lp_sum,
+             count), traj = jax.lax.scan(
+                step, (z_lig, xh_pocket, lig_mask, pocket_mask, row_src0,
+                       jnp.zeros(()), jnp.zeros(())),
                 steps)
 
-            key, k_dec = jax.random.split(key)
+            k_dec = jax.random.fold_in(run_key, timesteps + 1)
             x_lig, h_lig, x_pocket, h_pocket = core.sample_p_xh_given_z0(
                 k_dec, z_lig, xh_pocket, lig_mask, pocket_mask, eps_fn)
 
@@ -182,9 +204,11 @@ class ConditionalSampler:
                                                  pocket_mask)
 
             # shift back to the original pocket frame
-            # (lightning_modules.py:906-911 / handle_to_mol:845-862)
-            com_before = masked_mean(pocket_x, pocket_mask, axis=1,
-                                     keepdims=True)
+            # (lightning_modules.py:906-911 / handle_to_mol:845-862);
+            # row_src maps each (possibly ATP-replicated) output row to the
+            # input row whose pocket it carries
+            com_before = masked_mean(pocket_x, pocket_mask0, axis=1,
+                                     keepdims=True)[row_src]
             com_after = masked_mean(x_pocket, pocket_mask, axis=1,
                                     keepdims=True)
             shift = com_before - com_after
@@ -192,7 +216,8 @@ class ConditionalSampler:
             x_pocket = (x_pocket + shift) * pocket_mask[..., None]
 
             avg_lp = lp_sum / jnp.maximum(count, 1.0)
-            return x_lig, h_lig, x_pocket, h_pocket, avg_lp, traj
+            return (x_lig, h_lig, x_pocket, h_pocket, avg_lp, traj,
+                    lig_mask, pocket_mask)
 
         return jax.jit(run)
 
@@ -237,13 +262,12 @@ class ConditionalSampler:
                     adjust_module=self.adjust_module)
             host = self._run_cache["host"]
             host.params = self.params
-            x_lig, h_lig, x_pocket, h_pocket, avg_lp = host.sample(
-                key, pocket, lig_mask, timesteps,
-                adjust_params=adjust_params, optimize=optimize)
+            x_lig, h_lig, x_pocket, h_pocket, avg_lp, lm_out, pm_out = \
+                host.sample(key, pocket, lig_mask, timesteps,
+                            adjust_params=adjust_params, optimize=optimize)
             return SampleResult(
-                ligand=NodeBatch(x=x_lig, h=h_lig, mask=lig_mask),
-                pocket=NodeBatch(x=x_pocket, h=h_pocket,
-                                 mask=pocket.mask),
+                ligand=NodeBatch(x=x_lig, h=h_lig, mask=lm_out),
+                pocket=NodeBatch(x=x_pocket, h=h_pocket, mask=pm_out),
                 avg_log_prob=avg_lp, rl_traj=None)
 
         cache_key = (timesteps, optimize, collect_rl, nl,
@@ -253,12 +277,13 @@ class ConditionalSampler:
                 timesteps, optimize, collect_rl)
         run = self._run_cache[cache_key]
 
-        x_lig, h_lig, x_pocket, h_pocket, avg_lp, traj = run(
+        (x_lig, h_lig, x_pocket, h_pocket, avg_lp, traj, lig_mask_out,
+         pocket_mask_out) = run(
             self.params, adjust_params, key, pocket.x, pocket.h,
             pocket.mask, lig_mask)
         return SampleResult(
-            ligand=NodeBatch(x=x_lig, h=h_lig, mask=lig_mask),
-            pocket=NodeBatch(x=x_pocket, h=h_pocket, mask=pocket.mask),
+            ligand=NodeBatch(x=x_lig, h=h_lig, mask=lig_mask_out),
+            pocket=NodeBatch(x=x_pocket, h=h_pocket, mask=pocket_mask_out),
             avg_log_prob=avg_lp,
             rl_traj=traj if collect_rl else None)
 

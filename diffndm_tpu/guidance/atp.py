@@ -30,6 +30,50 @@ from diffndm_tpu.guidance.oracle import RewardOracle
 from diffndm_tpu.ops.segment import remove_mean_ligand
 
 
+def select_candidates(mixed, cfg: ATPConfig, b: int):
+    """Candidate selection indices from mixed rewards [G*B].
+
+    Returns sel_idx [B] (flat indices into G*B, ordered G-major like
+    ``arr.reshape(G*B, ...)``).  cfg.per_sample=False reproduces the
+    reference's single global top-B (conditional_model.py:1205);
+    per_sample=True picks argmax over G independently per batch row —
+    the only sound choice for heterogeneous/multi-pocket batches.
+    """
+    if cfg.per_sample:
+        g = mixed.shape[0] // b
+        g_star = jnp.argmax(mixed.reshape(g, b), axis=0)  # [B]
+        return g_star * b + jnp.arange(b)
+    _, sel_idx = jax.lax.top_k(mixed, b)
+    return sel_idx
+
+
+def gather_selected(sel_idx, z_flat, xh_flat, lig_mask, pocket_mask,
+                    core: CondDiffusion):
+    """Gather the selected candidates AND their per-row state.
+
+    The reference rebuilds lig_mask per selected candidate
+    (conditional_model.py:1209-1232); in the padded layout that is a gather
+    of the origin row's masks — a selected candidate with flat index i came
+    from batch row i % B, so it must carry THAT row's ligand/pocket masks,
+    not the destination row's.  Returns
+    (z_new, xh_new, lig_mask_new, pocket_mask_new) with ligand COM
+    re-subtracted under the gathered masks (:1234-1241).
+    """
+    b = lig_mask.shape[0]
+    n_dims = core.n_dims
+    row_src = sel_idx % b
+    z_new = z_flat[sel_idx]
+    xh_new = xh_flat[sel_idx]
+    lm_new = lig_mask[row_src]
+    pm_new = pocket_mask[row_src]
+    zx, px = remove_mean_ligand(z_new[..., :n_dims], xh_new[..., :n_dims],
+                                lm_new, pm_new)
+    z_new = jnp.concatenate([zx, z_new[..., n_dims:]], -1) * \
+        lm_new[..., None]
+    xh_new = jnp.concatenate([px, xh_new[..., n_dims:]], -1)
+    return z_new, xh_new, lm_new, pm_new
+
+
 def hybrid_spsa_prune(key, core: CondDiffusion, eps_fn, oracle,
                       z_lig, xh_pocket, lig_mask, pocket_mask, s_norm,
                       t_norm, s_step, atp_cfg, spsa_cfg, zeta,
@@ -39,7 +83,8 @@ def hybrid_spsa_prune(key, core: CondDiffusion, eps_fn, oracle,
     branch gets its own SPSA update, then the G-group ensemble is scored
     (z and x0 decodes, SVDD reward, mixed weighting) and pruned to top-B.
     The i>=2 branches use zeta = zeta0 (the reference's multi-scale quirk,
-    :1285-1286)."""
+    :1285-1286).  Returns the same (z, xh_pocket, lig_mask, pocket_mask,
+    sel_idx) tuple as atp_prune."""
     from diffndm_tpu.guidance.spsa import spsa_update
 
     b = z_lig.shape[0]
@@ -87,22 +132,21 @@ def hybrid_spsa_prune(key, core: CondDiffusion, eps_fn, oracle,
     else:
         w_z = (atp_cfg.mix_denom - s_f) / atp_cfg.mix_denom
     mixed = r_x0 * (s_f / atp_cfg.mix_denom) + r_z * w_z
-    _, top_idx = jax.lax.top_k(mixed, b)
-    z_new = flat(z_groups)[top_idx]
-    xh_new = flat(xh_groups)[top_idx]
-    zx, px = remove_mean_ligand(z_new[..., :n_dims], xh_new[..., :n_dims],
-                                lig_mask, pocket_mask)
-    z_new = jnp.concatenate([zx, z_new[..., n_dims:]], -1) * \
-        lig_mask[..., None]
-    xh_new = jnp.concatenate([px, xh_new[..., n_dims:]], -1)
-    return z_new, xh_new
+    sel_idx = select_candidates(mixed, atp_cfg, b)
+    z_new, xh_new, lm_new, pm_new = gather_selected(
+        sel_idx, flat(z_groups), flat(xh_groups), lig_mask, pocket_mask,
+        core)
+    return z_new, xh_new, lm_new, pm_new, sel_idx
 
 
 def atp_prune(key, core: CondDiffusion, eps_fn, oracle: RewardOracle,
               z_lig, xh_pocket, lig_mask, pocket_mask, s_norm, t_norm,
               s_step, cfg: ATPConfig, adjust_fn=None):
-    """One pruning event. z_lig: [B, NL, D]; returns updated
-    (z_lig, xh_pocket)."""
+    """One pruning event. z_lig: [B, NL, D]; returns
+    (z_lig, xh_pocket, lig_mask, pocket_mask, sel_idx) — masks are gathered
+    alongside the candidates (see gather_selected) and must replace the
+    caller's carried masks; sel_idx % B gives each output row's origin row
+    for gathering any additional per-row state."""
     b = z_lig.shape[0]
     g_extra = cfg.num_groups - 1
     n_dims = core.n_dims
@@ -143,13 +187,8 @@ def atp_prune(key, core: CondDiffusion, eps_fn, oracle: RewardOracle,
         w_z = (cfg.mix_denom - s_f) / cfg.mix_denom
     mixed = r_x0 * (s_f / cfg.mix_denom) + r_z * w_z
 
-    _, top_idx = jax.lax.top_k(mixed, b)  # [B] indices into G*B
-    z_new = flat(z_groups)[top_idx]
-    xh_new = flat(xh_groups)[top_idx]
-
-    zx, px = remove_mean_ligand(z_new[..., :n_dims], xh_new[..., :n_dims],
-                                lig_mask, pocket_mask)
-    z_new = jnp.concatenate([zx, z_new[..., n_dims:]], -1)
-    z_new = z_new * lig_mask[..., None]
-    xh_new = jnp.concatenate([px, xh_new[..., n_dims:]], -1)
-    return z_new, xh_new
+    sel_idx = select_candidates(mixed, cfg, b)
+    z_new, xh_new, lm_new, pm_new = gather_selected(
+        sel_idx, flat(z_groups), flat(xh_groups), lig_mask, pocket_mask,
+        core)
+    return z_new, xh_new, lm_new, pm_new, sel_idx

@@ -46,14 +46,25 @@ class RewardOracle:
         self.props = MoleculeProperties()
         self.num_workers = num_workers
         self._pool = None
+        # invalid-molecule accounting: invalid latents are EXPECTED during
+        # guidance (reward 0, metrics.evaluate_new:318-339) but any other
+        # exception is a bug and must surface, not silently become 0.0
+        self.n_scored = 0
+        self.n_invalid = 0
+
+    @property
+    def invalid_rate(self) -> float:
+        return self.n_invalid / max(self.n_scored, 1)
 
     # -- host side ---------------------------------------------------------
     def _score_one(self, coords, types, w_qed, w_sa, w_lip, logp_k,
                    logp_lo, logp_hi) -> float:
+        self.n_scored += 1
         try:
             mol = build_molecule(coords, types, self.dataset_info)
             sanitize(mol)
-        except (SanitizeError, Exception):
+        except SanitizeError:  # SanitizeError subclasses ValueError
+            self.n_invalid += 1
             return 0.0
         r = (w_qed * self.props.calculate_qed(mol)
              + w_sa * self.props.calculate_sa(mol)

@@ -63,8 +63,11 @@ class DiffNDM:
         d = model_cfg.diffusion
         if d.noise_schedule == "learned":
             # VDM-style monotone gamma network (requires the vlb loss,
-            # en_diffusion.py:30-32); its params are trained alongside the
-            # dynamics by the VLB objective
+            # en_diffusion.py:30-32).  To TRAIN it, pass
+            # gamma_module=self.core.schedule.module to Trainer with
+            # params={"dynamics":..., "gamma": self.core.schedule.params}
+            # (cli/train.py does this); inference uses the params frozen in
+            # the schedule here.
             from diffndm_tpu.diffusion.learned_gamma import \
                 make_learned_gamma
 

@@ -46,10 +46,18 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: TrainConfig):
-    opt = (optax.amsgrad(cfg.lr) if cfg.amsgrad
-           else optax.adam(cfg.lr))
+    """AdamW(amsgrad) with DECOUPLED weight decay: the decay is applied
+    after the Adam preconditioner and scaled by the learning rate, matching
+    torch.optim.AdamW(amsgrad=True) (lightning_modules.py:187-189).
+    Chaining the decay before Adam would couple it through the
+    preconditioner (plain L2), which is not what the reference runs."""
+    scale = (optax.scale_by_amsgrad() if cfg.amsgrad
+             else optax.scale_by_adam())
+    steps = [scale]
     if cfg.weight_decay:
-        opt = optax.chain(optax.add_decayed_weights(cfg.weight_decay), opt)
+        steps.append(optax.add_decayed_weights(cfg.weight_decay))
+    steps.append(optax.scale_by_learning_rate(cfg.lr))
+    opt = optax.chain(*steps)
     if cfg.accumulate_grad_batches > 1:
         opt = optax.MultiSteps(opt, cfg.accumulate_grad_batches)
     return opt
@@ -58,9 +66,21 @@ def make_optimizer(cfg: TrainConfig):
 class Trainer:
     def __init__(self, core: CondDiffusion, dynamics_module, params,
                  cfg: TrainConfig, lj_rm: Optional[np.ndarray] = None,
-                 mesh=None):
+                 mesh=None, gamma_module=None):
+        """gamma_module: when the diffusion core uses a LEARNED noise
+        schedule (diffusion/learned_gamma.py), pass its GammaNetwork here
+        and supply ``params`` as {"dynamics": ..., "gamma": ...}; both
+        branches are then optimized by the VLB objective, as in the
+        reference where GammaNetwork is part of the trained module
+        (en_diffusion.py:37-38).  With a predefined schedule leave it None
+        and pass the dynamics params directly."""
         self.core = core
         self.module = dynamics_module
+        self.gamma_module = gamma_module
+        if gamma_module is not None:
+            assert isinstance(params, dict) and \
+                set(params) >= {"dynamics", "gamma"}, \
+                "learned-gamma training needs {'dynamics':..., 'gamma':...}"
         self.cfg = cfg
         self.lj_rm = None if lj_rm is None else jnp.asarray(lj_rm)
         self.tx = make_optimizer(cfg)
@@ -77,12 +97,23 @@ class Trainer:
     # -----------------------------------------------------------------
     def _loss_fn(self, params, key, ligand: NodeBatch, pocket: NodeBatch,
                  training: bool):
-        def eps_fn(z_lig, xh_pocket, t, lm, pm):
-            return self.module.apply(params, z_lig, xh_pocket, t, lm, pm)
+        core = self.core
+        if self.gamma_module is not None:
+            # rebuild the schedule from the trained gamma branch so VLB
+            # gradients flow into the GammaNetwork
+            dyn_params = params["dynamics"]
+            core = core._replace(schedule=core.schedule._replace(
+                params=params["gamma"]))
+        else:
+            dyn_params = params
 
-        terms = conditional_loss_terms(key, self.core, eps_fn, ligand,
+        def eps_fn(z_lig, xh_pocket, t, lm, pm):
+            return self.module.apply(dyn_params, z_lig, xh_pocket, t, lm,
+                                     pm)
+
+        terms = conditional_loss_terms(key, core, eps_fn, ligand,
                                        pocket, training)
-        nll, info = assemble_loss(terms, self.core, ligand, pocket,
+        nll, info = assemble_loss(terms, core, ligand, pocket,
                                   self.cfg, training, lj_rm=self.lj_rm)
         return jnp.mean(nll), info
 
@@ -131,7 +162,23 @@ class Trainer:
         return jax.jit(step, donate_argnums=(0,))
 
     # -----------------------------------------------------------------
+    def _pad_to_mesh(self, ligand: NodeBatch, pocket: NodeBatch):
+        """Repeat-pad a batch whose size is not divisible by the data-mesh
+        axis (the final partial batch of every epoch); repeated samples are
+        slightly over-weighted in that step, which is the standard
+        trade-off vs. dropping them."""
+        n = int(np.prod([s for a, s in self.mesh.shape.items()
+                         if a == "data"])) or 1
+        b = ligand.x.shape[0]
+        if b % n == 0:
+            return ligand, pocket
+        idx = np.concatenate([np.arange(b), np.arange((-b) % n) % b])
+        pad = lambda nb: NodeBatch(x=nb.x[idx], h=nb.h[idx],
+                                   mask=nb.mask[idx])
+        return pad(ligand), pad(pocket)
+
     def train_step(self, key, ligand: NodeBatch, pocket: NodeBatch):
+        ligand, pocket = self._pad_to_mesh(ligand, pocket)
         ligand = shard_batch(self.mesh, ligand)
         pocket = shard_batch(self.mesh, pocket)
         self.state, loss, info = self._train_step(self.state, key, ligand,
@@ -139,6 +186,7 @@ class Trainer:
         return float(loss), {k: float(v) for k, v in info.items()}
 
     def eval_step(self, key, ligand: NodeBatch, pocket: NodeBatch):
+        ligand, pocket = self._pad_to_mesh(ligand, pocket)
         ligand = shard_batch(self.mesh, ligand)
         pocket = shard_batch(self.mesh, pocket)
         loss, info = self._eval_step(self.state.params, key, ligand, pocket)

@@ -1,7 +1,11 @@
 """Semantic correctness of the guidance math, driven by mock oracles:
 
-- ATP must select the candidates the reward function prefers;
-- SPSA must move coordinates uphill on a smooth synthetic reward;
+- candidate selection + per-row state gathering (the mask-consistency
+  contract of atp.gather_selected) under heterogeneous ligand sizes;
+- ATP pruning may never decrease the population's mixed reward (the
+  original population is always among the candidates);
+- SPSA must *increase* the oracle reward it ascends (measured on the same
+  x0 decode the oracle scores), not merely move;
 - the mixed-reward weighting must follow the configured precedence mode.
 """
 
@@ -15,7 +19,8 @@ from diffndm_tpu.config import (ATPConfig, DiffusionConfig, EGNNConfig,
 from diffndm_tpu.constants import dataset_params
 from diffndm_tpu.diffusion import schedules as S
 from diffndm_tpu.diffusion.core import CondDiffusion
-from diffndm_tpu.guidance.atp import atp_prune
+from diffndm_tpu.guidance.atp import (atp_prune, gather_selected,
+                                      select_candidates)
 from diffndm_tpu.guidance.spsa import spsa_update
 from diffndm_tpu.models.dynamics import EGNNDynamics
 
@@ -33,20 +38,18 @@ class MockOracle:
         self.target = np.asarray(target, np.float32)
         self.calls = 0
 
+    def _host(self, c, hh, m):
+        self.calls += 1
+        c = np.asarray(c)
+        m = np.asarray(m)
+        d2 = ((c - self.target) ** 2).sum(-1)
+        d2 = (d2 * m).sum(-1) / np.maximum(m.sum(-1), 1)
+        return (-d2).astype(np.float32)
+
     def _score(self, coords, h, mask):
-        import numpy as onp
-
-        def host(c, hh, m):
-            self.calls += 1
-            c = onp.asarray(c)
-            m = onp.asarray(m)
-            d2 = ((c - self.target) ** 2).sum(-1)
-            d2 = (d2 * m).sum(-1) / onp.maximum(m.sum(-1), 1)
-            return (-d2).astype(onp.float32)
-
         from jax.experimental import io_callback
 
-        return io_callback(host,
+        return io_callback(self._host,
                            jax.ShapeDtypeStruct((coords.shape[0],),
                                                 jnp.float32),
                            coords, h, mask, ordered=False)
@@ -56,6 +59,23 @@ class MockOracle:
 
     def spsa_rewards(self, coords, h, mask, cfg):
         return self._score(coords, h, mask)
+
+
+class CompactOracle(MockOracle):
+    """Translation-invariant reward = negative mean squared deviation from
+    the molecule's own COM; invariant to the COM re-projection inside
+    gather_selected, so rewards can be re-measured on its outputs."""
+
+    def _host(self, c, hh, m):
+        self.calls += 1
+        c = np.asarray(c)
+        m = np.asarray(m)[..., None]
+        com = (c * m).sum(-2, keepdims=True) / np.maximum(m.sum(-2,
+                                                                keepdims=True),
+                                                          1)
+        d2 = (((c - com) ** 2).sum(-1) * m[..., 0])
+        return (-(d2.sum(-1) / np.maximum(m[..., 0].sum(-1), 1))
+                ).astype(np.float32)
 
 
 @pytest.fixture(scope="module")
@@ -80,49 +100,183 @@ def setup():
     return core, eps_fn, z, xh_p, lm, pm
 
 
-def test_atp_selects_preferred_candidates(setup):
+# ---------------------------------------------------------------------------
+# selection + gathering unit tests
+# ---------------------------------------------------------------------------
+
+def _hetero_masks():
+    counts_l, counts_p = (2, 4, 6), (3, 5, 8)
+    lm = (np.arange(NL)[None, :] < np.array(counts_l)[:, None]
+          ).astype(np.float32)
+    pm = (np.arange(NP)[None, :] < np.array(counts_p)[:, None]
+          ).astype(np.float32)
+    return jnp.asarray(lm), jnp.asarray(pm)
+
+
+def test_global_selection_gathers_origin_masks(setup):
+    """A candidate selected into output row j must carry its ORIGIN row's
+    masks (conditional_model.py:1209-1232 rebuilds them per candidate);
+    using row j's masks silently truncates/extends the ligand."""
+    core = setup[0]
+    lm, pm = _hetero_masks()
+    g = 2
+    rng = np.random.default_rng(0)
+    z_flat = jnp.asarray(rng.normal(size=(g * B, NL, 3 + ATOM_NF)),
+                         jnp.float32)
+    xh_flat = jnp.asarray(rng.normal(size=(g * B, NP, 3 + ATOM_NF)),
+                          jnp.float32)
+    # force cross-row selection: best three are flat 3 (g1,row0),
+    # 1 (g0,row1), 5 (g1,row2)
+    rewards = jnp.asarray([0.1, 0.8, 0.2, 0.9, 0.0, 0.7])
+    cfg = ATPConfig(per_sample=False)
+    sel = select_candidates(rewards, cfg, B)
+    assert sorted(np.asarray(sel).tolist()) == [1, 3, 5]
+    z_new, xh_new, lm_new, pm_new = gather_selected(
+        sel, z_flat, xh_flat, lm, pm, core)
+    for j, flat_idx in enumerate(np.asarray(sel)):
+        origin = flat_idx % B
+        np.testing.assert_array_equal(np.asarray(lm_new[j]),
+                                      np.asarray(lm[origin]))
+        np.testing.assert_array_equal(np.asarray(pm_new[j]),
+                                      np.asarray(pm[origin]))
+        # feature channels are not COM-projected: must match the candidate
+        np.testing.assert_allclose(
+            np.asarray(z_new[j, :, 3:]),
+            np.asarray(z_flat[flat_idx, :, 3:]
+                       * lm[origin][:, None]), atol=1e-6)
+
+
+def test_per_sample_selection_keeps_rows(setup):
+    core = setup[0]
+    lm, pm = _hetero_masks()
+    g = 3
+    rewards = jnp.asarray(np.arange(g * B, dtype=np.float32))  # best: g=2
+    cfg = ATPConfig(per_sample=True)
+    sel = select_candidates(rewards, cfg, B)
+    np.testing.assert_array_equal(np.asarray(sel), [2 * B, 2 * B + 1,
+                                                    2 * B + 2])
+    rng = np.random.default_rng(1)
+    z_flat = jnp.asarray(rng.normal(size=(g * B, NL, 3 + ATOM_NF)),
+                         jnp.float32)
+    xh_flat = jnp.asarray(rng.normal(size=(g * B, NP, 3 + ATOM_NF)),
+                          jnp.float32)
+    _, _, lm_new, pm_new = gather_selected(sel, z_flat, xh_flat, lm, pm,
+                                           core)
+    np.testing.assert_array_equal(np.asarray(lm_new), np.asarray(lm))
+    np.testing.assert_array_equal(np.asarray(pm_new), np.asarray(pm))
+
+
+# ---------------------------------------------------------------------------
+# ATP pruning: population reward must not decrease
+# ---------------------------------------------------------------------------
+
+def _mixed_reward_of(core, eps_fn, oracle, z, xh_p, lm, pm, t_norm, s_step,
+                     cfg):
+    """Re-measure the exact mixed reward atp_prune optimizes."""
+    nx = core.cfg.norm_values[0]
+    z0 = core.to_x0(z, xh_p, jnp.asarray(t_norm), lm, pm, eps_fn)
+    r_z = np.asarray(oracle.svdd_rewards(z[..., :3] * nx, z[..., 3:], lm,
+                                         cfg))
+    r_x0 = np.asarray(oracle.svdd_rewards(z0[..., :3] * nx, z0[..., 3:],
+                                          lm, cfg))
+    s = float(s_step)
+    if cfg.compat_precedence:
+        w_z = cfg.mix_denom - s / cfg.mix_denom
+    else:
+        w_z = (cfg.mix_denom - s) / cfg.mix_denom
+    return r_x0 * (s / cfg.mix_denom) + r_z * w_z
+
+
+@pytest.mark.parametrize("per_sample", [False, True])
+def test_atp_never_worsens_population(setup, per_sample):
+    """The current population is always among the candidates, so selection
+    (global top-B or per-row argmax) can only improve the mixed reward.
+    CompactOracle is translation-invariant, so the COM re-projection in
+    gather_selected does not perturb the re-measured reward."""
     core, eps_fn, z, xh_p, lm, pm = setup
-    oracle = MockOracle(target=(0.0, 0.0, 0.0))
-    cfg = ATPConfig(enabled=True, num_groups=4)
-    z_new, xh_new = atp_prune(jax.random.PRNGKey(2), core, eps_fn, oracle,
-                              z, xh_p, lm, pm, 0.3, 0.4,
-                              jnp.asarray(3), cfg)
+    oracle = CompactOracle()
+    cfg = ATPConfig(enabled=True, num_groups=4, per_sample=per_sample)
+    s_norm, t_norm, s_step = 0.3, 0.4, 3
+    before = _mixed_reward_of(core, eps_fn, oracle, z, xh_p, lm, pm,
+                              t_norm, s_step, cfg)
+    z_new, xh_new, lm_new, pm_new, sel = atp_prune(
+        jax.random.PRNGKey(2), core, eps_fn, oracle, z, xh_p, lm, pm,
+        s_norm, t_norm, jnp.asarray(s_step), cfg)
+    after = _mixed_reward_of(core, eps_fn, oracle, z_new, xh_new, lm_new,
+                             pm_new, t_norm, s_step, cfg)
+    if per_sample:
+        # row identity is preserved: every row must be >= its own previous
+        assert np.all(after >= before - 1e-3), (before, after)
+        np.testing.assert_array_equal(np.asarray(lm_new), np.asarray(lm))
+    else:
+        # population-level: the selected set beats the original set
+        assert after.mean() >= before.mean() - 1e-3, (before, after)
     assert oracle.calls >= 2
-    # selected population must score at least as well as the original on
-    # the oracle's criterion (mean distance to the target)
-    def mean_d2(zz):
-        c = np.asarray(zz)[..., :3]
-        return float(((c - oracle.target) ** 2).sum(-1).mean())
-
-    # relaxed: selection keeps the best of {original + branches}, so the
-    # chosen set cannot be much worse than the original
-    assert mean_d2(z_new) <= mean_d2(z) + 0.5
 
 
-def test_spsa_moves_uphill(setup):
-    """On a smooth reward peaked at a target, the SPSA update must reduce
-    the distance to that target (in expectation; we check the actual
-    realized update with enough probes)."""
+def test_atp_keeps_planted_optimum(setup):
+    """When one candidate is planted exactly at the oracle's optimum, the
+    global selection must include it."""
+    core = setup[0]
+    lm, pm = _hetero_masks()
+    g = 2
+    rng = np.random.default_rng(3)
+    z_flat = np.asarray(rng.normal(size=(g * B, NL, 3 + ATOM_NF)),
+                        np.float32) * 5
+    # plant candidate (g=1, row=1): all real atoms exactly at the target
+    target = np.array([1.0, 2.0, -1.0], np.float32)
+    planted = B + 1
+    z_flat[planted, :, :3] = target
+    oracle = MockOracle(target=tuple(target))
+    lm_f = jnp.tile(lm, (g, 1))
+    rewards = np.asarray(oracle.svdd_rewards(
+        jnp.asarray(z_flat[..., :3]), jnp.asarray(z_flat[..., 3:]), lm_f,
+        None))
+    sel = select_candidates(jnp.asarray(rewards), ATPConfig(), B)
+    assert planted in np.asarray(sel).tolist()
+
+
+# ---------------------------------------------------------------------------
+# SPSA: must increase the reward it ascends
+# ---------------------------------------------------------------------------
+
+def test_spsa_increases_reward(setup):
+    """SPSA ascends oracle(x0(z)); with enough probes the realized update
+    must increase that exact quantity (averaged over seeds)."""
     core, eps_fn, z, xh_p, lm, pm = setup
     target = (0.5, -0.5, 1.0)
     oracle = MockOracle(target=target)
-    # large guidance scale to make the movement measurable; many probes
-    cfg = SPSAConfig(enabled=True, num_probes=16, guidance_scale=5e-3)
+    cfg = SPSAConfig(enabled=True, num_probes=24, guidance_scale=2e-2)
+    t_norm = 0.4
+    nx = core.cfg.norm_values[0]
 
-    # centre the input ligand COM first (the sampler maintains this
-    # invariant; spsa_update re-centres its output)
+    # centre the input ligand COM (sampler invariant)
     zx = z[..., :3] - z[..., :3].mean(axis=1, keepdims=True)
     z = jnp.concatenate([zx, z[..., 3:]], -1)
-    # the oracle scores the x0 lookahead; with a 1-layer random net the
-    # lookahead is a smooth function of z, so uphill in z still correlates
-    z_new, _ = spsa_update(jax.random.PRNGKey(3), core, eps_fn, oracle, z,
-                           xh_p, lm, pm, 0.4, 0.05, cfg)
-    delta = np.asarray(z_new[..., :3] - z[..., :3])
-    assert np.abs(delta).max() > 0  # it moved
-    assert np.isfinite(delta).all()
-    # COM-free update
-    assert np.abs(delta.sum(axis=1)).max() < 1e-4
 
+    def reward_of(zz):
+        z0 = core.to_x0(zz, xh_p, jnp.asarray(t_norm), lm, pm, eps_fn)
+        return float(np.asarray(oracle.svdd_rewards(
+            z0[..., :3] * nx, z0[..., 3:], lm, None)).mean())
+
+    before = reward_of(z)
+    deltas = []
+    for seed in range(3):
+        z_new, _ = spsa_update(jax.random.PRNGKey(10 + seed), core, eps_fn,
+                               oracle, z, xh_p, lm, pm, t_norm, 0.05, cfg)
+        d = np.asarray(z_new[..., :3] - z[..., :3])
+        assert np.isfinite(d).all()
+        assert np.abs(d.sum(axis=1)).max() < 1e-4  # COM-free update
+        deltas.append(reward_of(z_new) - before)
+    deltas = np.asarray(deltas)
+    # the realized ascent direction must actually go uphill
+    assert deltas.mean() > 0, deltas
+    assert (deltas > 0).sum() >= 2, deltas
+
+
+# ---------------------------------------------------------------------------
+# mixed-reward precedence
+# ---------------------------------------------------------------------------
 
 def test_mixed_reward_precedence():
     from diffndm_tpu.diffusion.host_guided import HostGuidedSampler

@@ -61,6 +61,36 @@ def test_host_guided_spsa_atp(setup):
     np.testing.assert_allclose(hs, np.asarray(res.ligand.mask), atol=1e-6)
 
 
+def test_host_matches_fused_with_guidance(setup):
+    """Position-based RNG derivation (fold_in(run_key, s)) makes the fused
+    io_callback scan and the host-orchestrated event loop derive IDENTICAL
+    keys; with the same oracle both modes must produce the same guided
+    samples (small tolerance: XLA fuses the two programs differently)."""
+    core, module, params, pocket = setup
+    cfg = SampleConfig(
+        spsa=SPSAConfig(enabled=True, num_probes=2, start_step=4, every=2),
+        atp=ATPConfig(enabled=True, num_groups=3, start_step=6, every=3))
+    num_nodes = np.array([5, 7])
+
+    fused = ConditionalSampler(core, module, params, cfg, DP)
+    r1 = fused.sample_given_pocket(jax.random.PRNGKey(7), pocket, num_nodes)
+
+    host = ConditionalSampler(core, module, params, cfg, DP)
+    os.environ["DIFFNDM_HOST_GUIDANCE"] = "1"
+    try:
+        r2 = host.sample_given_pocket(jax.random.PRNGKey(7), pocket,
+                                      num_nodes)
+    finally:
+        os.environ.pop("DIFFNDM_HOST_GUIDANCE", None)
+
+    np.testing.assert_array_equal(np.asarray(r1.ligand.mask),
+                                  np.asarray(r2.ligand.mask))
+    np.testing.assert_allclose(np.asarray(r1.ligand.x),
+                               np.asarray(r2.ligand.x), atol=5e-4)
+    np.testing.assert_array_equal(np.asarray(r1.ligand.h),
+                                  np.asarray(r2.ligand.h))
+
+
 def test_host_matches_fused_without_guidance_structure(setup):
     """Unguided: host mode falls through to the fused scan (identical
     results for the same key)."""

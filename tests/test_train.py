@@ -75,6 +75,37 @@ def test_eval_step(trainer):
     assert np.isfinite(loss)
 
 
+def test_learned_gamma_receives_gradients():
+    """With noise_schedule='learned' the GammaNetwork params must be part
+    of the optimized tree (reference trains it inside the module,
+    en_diffusion.py:37-38) — they must CHANGE after a train step."""
+    from diffndm_tpu.diffusion.learned_gamma import make_learned_gamma
+
+    cfg = EGNNConfig(hidden_nf=16, joint_nf=8, n_layers=1, row_tile=16,
+                     attention=False, reflection_equivariant=True)
+    module = EGNNDynamics(cfg, atom_nf=ATOM_NF, residue_nf=ATOM_NF)
+    key = jax.random.PRNGKey(0)
+    params = module.init(key, jnp.zeros((1, NL, 13)),
+                         jnp.zeros((1, NP, 13)), jnp.zeros((1,)),
+                         jnp.ones((1, NL)), jnp.ones((1, NP)))
+    sched = make_learned_gamma(T, key)
+    core = CondDiffusion(sched,
+                         DiffusionConfig(timesteps=T, loss_type="vlb",
+                                         noise_schedule="learned"),
+                         ATOM_NF, ATOM_NF)
+    trainer = Trainer(core, module,
+                      {"dynamics": params, "gamma": sched.params},
+                      TrainConfig(lr=1e-2, accumulate_grad_batches=1),
+                      gamma_module=sched.module)
+    ligand, pocket = make_batch(jax.random.PRNGKey(4))
+    g0 = jax.device_get(trainer.state.params["gamma"])
+    loss, _ = trainer.train_step(jax.random.PRNGKey(5), ligand, pocket)
+    assert np.isfinite(loss)
+    g1 = jax.device_get(trainer.state.params["gamma"])
+    moved = jax.tree.map(lambda a, b: not np.allclose(a, b), g0, g1)
+    assert any(jax.tree.leaves(moved)), "gamma params did not move"
+
+
 def test_checkpoint_roundtrip(trainer, tmp_path):
     path = str(tmp_path / "ckpt")
     trainer.save_checkpoint(path)
