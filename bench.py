@@ -48,7 +48,12 @@ def main():
                      norm_constant=1.0, reflection_equivariant=False,
                      edge_cutoff_pocket=5.0, edge_cutoff_interaction=5.0,
                      row_tile=int(os.environ.get("BENCH_ROW_TILE", 64)),
-                     compute_dtype=dtype, neighbors=neighbors)
+                     compute_dtype=dtype, neighbors=neighbors,
+                     use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
+                     pallas_row_tile=int(
+                         os.environ.get("BENCH_PALLAS_ROW", 16)),
+                     pallas_col_tile=int(
+                         os.environ.get("BENCH_PALLAS_COL", 128)))
     module = EGNNDynamics(cfg, atom_nf=atom_nf, residue_nf=atom_nf)
     key = jax.random.PRNGKey(0)
     # init on CPU: avoids a TPU compile of the init program at startup
@@ -84,15 +89,18 @@ def main():
 
     # min-of-3: the remote tunnel injects sporadic stalls; the fastest
     # repetition reflects the actual device rate
+    from diffndm_tpu.utils.profiling import trace
+
     reps = 1 if full else 3
     dt = float("inf")
-    for r in range(reps):
-        t0 = time.time()
-        res = sampler.sample_given_pocket(jax.random.PRNGKey(3 + r),
-                                          pocket, sizes,
-                                          timesteps=t_measure)
-        jax.block_until_ready(res.ligand.x)
-        dt = min(dt, time.time() - t0)
+    with trace():  # set DIFFNDM_TRACE_DIR to capture a profiler trace
+        for r in range(reps):
+            t0 = time.time()
+            res = sampler.sample_given_pocket(jax.random.PRNGKey(3 + r),
+                                              pocket, sizes,
+                                              timesteps=t_measure)
+            jax.block_until_ready(res.ligand.x)
+            dt = min(dt, time.time() - t0)
 
     lig_per_sec = B / (dt * T / t_measure)
     print(json.dumps({

@@ -54,10 +54,15 @@ def load_model(args):
                                     SampleConfig, SPSAConfig)
     from diffndm_tpu.model import DiffNDM
 
+    # Multi-pocket batches must not select ATP candidates across pockets
+    # (a globally-selected candidate would land in another pocket's row):
+    # restrict the population top-k to each pocket's n_samples rows.
+    group_size = (args.n_samples
+                  if getattr(args, "batch_pockets", 1) > 1 else None)
     sample_cfg = SampleConfig(
         n_samples=args.n_samples,
         spsa=SPSAConfig(enabled=bool(args.SPSA)),
-        atp=ATPConfig(enabled=bool(args.SVDD)),
+        atp=ATPConfig(enabled=bool(args.SVDD), group_size=group_size),
         rl=RLConfig(enabled=bool(args.optimize),
                     train=bool(args.path_save)))
     if args.config:

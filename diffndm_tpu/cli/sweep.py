@@ -30,7 +30,8 @@ def main(argv=None):
     p.add_argument("--SPSA", type=int, default=0)
     p.add_argument("--batch_pockets", type=int, default=1,
                    help="pockets generated together in one device batch "
-                        "(amortizes compiles/dispatch; unguided only)")
+                        "(amortizes compiles/dispatch; with --SVDD the "
+                        "ATP top-k is restricted to each pocket's rows)")
     # inpaint sweep (my_test_inpaint.py:38-52 defaults)
     p.add_argument("--inpaint", action="store_true",
                    help="inpainting sweep: fragments extracted from each "

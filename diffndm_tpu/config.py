@@ -39,6 +39,17 @@ class EGNNConfig:
     # TPU-specific: nodes processed per message-passing row tile.
     row_tile: int = 64
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # Fused Pallas message-passing kernels (ops/pallas_egnn.py): the whole
+    # edge chain (first-layer add + silu + hidden matmul + attention +
+    # masked reduce) stays in VMEM per (row, col) tile instead of
+    # round-tripping [B, T, N, H] activations through HBM.  Requires the
+    # dense column provider, scalar edge features (no sin embedding, no
+    # edge-type embedding) and 'sum' aggregation; other configurations
+    # silently fall back to the XLA row-tiled path.
+    use_pallas: bool = False
+    pallas_row_tile: int = 16
+    pallas_col_tile: int = 128
+    pallas_interpret: bool = False  # CPU-testable interpret mode
     # Fixed-K nearest-neighbour lists instead of dense N columns (exact as
     # long as every node has <= K edges under the cutoffs); None = dense.
     neighbors: Optional[int] = None
@@ -98,6 +109,10 @@ class ATPConfig:
     # required for multi-pocket batches, where global selection would move
     # ligands between pockets.
     per_sample: bool = False
+    # Rows form contiguous groups of this size sharing one pocket
+    # (pockets*samples layout): top-group_size selection runs within each
+    # group — the reference's population selection applied per pocket.
+    group_size: Optional[int] = None
     # reward weights (my_reward_for_SVDD, :644-650):
     # 2*QED + 2*SA + sigmoid-window(LogP, k, [lo, hi]) + Lip/5
     w_qed: float = 2.0

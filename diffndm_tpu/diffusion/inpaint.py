@@ -119,14 +119,15 @@ def build_inpaint_run(core: CondDiffusion, eps_fn_builder, cfg: SampleConfig,
                     zeta = cfg.spsa.zeta0 * s.astype(jnp.float32) / \
                         icfg.spsa_zeta_denom
                     # reference quirk: the SPSA update runs on the pre-step
-                    # z_t and *replaces* the denoised unknown (:1579-1585)
+                    # z_t and *replaces* the denoised unknown (:1579-1585);
+                    # the inactive branch must KEEP the denoised z_unknown
                     z_unknown, xh_p = jax.lax.cond(
                         active,
                         lambda args: spsa_update(
                             k2, core, eps_fn, oracle, args[0], args[1],
                             lm, pm, t_norm, zeta, cfg.spsa),
-                        lambda args: args,
-                        (z, xh_p))
+                        lambda args: (args[2], args[1]),
+                        (z, xh_p, z_unknown))
 
                 # re-noise known part from the (drift-compensated) input
                 com_pocket = masked_mean(xh_p[..., :n_dims], pm,
@@ -238,18 +239,35 @@ class InpaintSampler:
                 timesteps: Optional[int] = None, resamplings: int = 1,
                 svdd: bool = False, spsa: Optional[bool] = None,
                 center: str = "ligand") -> SampleResult:
+        import os
+
         timesteps = timesteps or self.core.schedule.timesteps
         spsa = self.cfg.spsa.enabled if spsa is None else spsa
         if svdd or spsa:
             from diffndm_tpu.diffusion.host_guided import \
                 supports_io_callback
 
-            if not supports_io_callback():
-                raise NotImplementedError(
-                    "guided inpainting (svdd/spsa) needs host-callback "
-                    "support, which this runtime lacks; run unguided or "
-                    "on a standard TPU/CPU runtime (host-orchestrated "
-                    "inpainting is on the roadmap)")
+            force_host = os.environ.get("DIFFNDM_HOST_GUIDANCE") == "1"
+            if force_host or not supports_io_callback():
+                # runtimes without host callbacks (axon tunnel) run the
+                # host-orchestrated RePaint loop — identical keys/math
+                from diffndm_tpu.diffusion.host_inpaint import \
+                    HostGuidedInpainter
+
+                if "host" not in self._cache:
+                    self._cache["host"] = HostGuidedInpainter(
+                        self.core, self.module, self.params, self.cfg,
+                        self.dataset_info, self.oracle)
+                host = self._cache["host"]
+                host.params = self.params
+                x_lig, h_lig, x_pocket, h_pocket, lm_out, pm_out = \
+                    host.inpaint(key, ligand, lig_fixed, pocket,
+                                 timesteps, resamplings, svdd=svdd,
+                                 spsa=spsa, center=center)
+                return SampleResult(
+                    ligand=NodeBatch(x=x_lig, h=h_lig, mask=lm_out),
+                    pocket=NodeBatch(x=x_pocket, h=h_pocket, mask=pm_out),
+                    avg_log_prob=jnp.zeros(()), rl_traj=None)
         ck = (timesteps, resamplings, bool(svdd), bool(spsa), center,
               ligand.x.shape, pocket.x.shape)
         if ck not in self._cache:

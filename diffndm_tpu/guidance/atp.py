@@ -34,15 +34,31 @@ def select_candidates(mixed, cfg: ATPConfig, b: int):
     """Candidate selection indices from mixed rewards [G*B].
 
     Returns sel_idx [B] (flat indices into G*B, ordered G-major like
-    ``arr.reshape(G*B, ...)``).  cfg.per_sample=False reproduces the
-    reference's single global top-B (conditional_model.py:1205);
-    per_sample=True picks argmax over G independently per batch row —
-    the only sound choice for heterogeneous/multi-pocket batches.
+    ``arr.reshape(G*B, ...)``).  Three scopes:
+
+    - default: the reference's single global top-B over all G*B
+      candidates (conditional_model.py:1205) — only sound when every row
+      shares the same pocket;
+    - cfg.group_size=n: rows form contiguous groups of n sharing a pocket
+      (multi-pocket batches, pockets*samples layout); top-n is taken over
+      each group's G*n candidates — the reference's population selection
+      applied per pocket;
+    - cfg.per_sample=True: argmax over G independently per row (each
+      sample keeps its own identity; heterogeneous fragment batches).
     """
+    g = mixed.shape[0] // b
     if cfg.per_sample:
-        g = mixed.shape[0] // b
         g_star = jnp.argmax(mixed.reshape(g, b), axis=0)  # [B]
         return g_star * b + jnp.arange(b)
+    if cfg.group_size is not None and cfg.group_size < b:
+        gs = cfg.group_size
+        n_groups = b // gs
+        m = mixed.reshape(g, n_groups, gs)
+        m = jnp.transpose(m, (1, 0, 2)).reshape(n_groups, g * gs)
+        _, idx = jax.lax.top_k(m, gs)  # [n_groups, gs] into g*gs
+        g_i, j = idx // gs, idx % gs
+        flat = g_i * b + jnp.arange(n_groups)[:, None] * gs + j
+        return flat.reshape(b)
     _, sel_idx = jax.lax.top_k(mixed, b)
     return sel_idx
 

@@ -111,6 +111,11 @@ class EdgeContext(NamedTuple):
     tile: int
     n_tiles: int
     n_pad: int
+    # dense-provider extras for the fused Pallas path (None when gathered
+    # or when edge features are not the two raw distance scalars)
+    full_adj: Optional[jnp.ndarray] = None   # [B, N, N]
+    full_d2i: Optional[jnp.ndarray] = None   # [B, N, N] initial radial
+    x_full: Optional[jnp.ndarray] = None     # [B, N, 3]
 
 
 def make_edge_context(cfg: EGNNConfig, x: jnp.ndarray, adj: jnp.ndarray,
@@ -153,8 +158,16 @@ def make_edge_context(cfg: EGNNConfig, x: jnp.ndarray, adj: jnp.ndarray,
         e0 = jax.lax.dynamic_slice_in_dim(e0_p, i0, tile, 1)
         return jnp.concatenate([radial, e0], axis=-1)
 
+    full_adj = full_d2i = x_full = None
+    if (nbr_idx is None and cfg.use_pallas and not cfg.sin_embedding
+            and edge_attr0.shape[-1] == 1):
+        full_adj = adj
+        full_d2i = jnp.broadcast_to(
+            edge_attr0[..., 0], (x.shape[0], n, n))
+        x_full = x
     return EdgeContext(cols, adj_rows, edge_attr, x_cols, tile, n_tiles,
-                       n_pad)
+                       n_pad, full_adj=full_adj, full_d2i=full_d2i,
+                       x_full=x_full)
 
 
 def build_neighbor_lists(x: jnp.ndarray, adj: jnp.ndarray,
@@ -205,6 +218,33 @@ class GCL(nn.Module):
         b = _linear(w_dst, h.astype(dt))
 
         n = h.shape[1]
+
+        if (ctx.full_adj is not None and self.edge_nf == 2
+                and cfg.aggregation_method == "sum"):
+            # fused Pallas path: whole edge chain in VMEM per tile
+            from diffndm_tpu.ops import pallas_egnn as PK
+
+            xf = ctx.x_full.astype(dt)
+            d2c = jnp.sum((xf[:, :, None, :] - xf[:, None, :, :]) ** 2,
+                          axis=-1)
+            agg = PK.gcl_messages(
+                a, b, d2c, ctx.full_d2i.astype(dt),
+                ctx.full_adj.astype(dt), w_edg["kernel"].astype(dt),
+                w_l2["kernel"], w_l2["bias"],
+                w_att["kernel"] if w_att is not None else
+                jnp.zeros((H, 1), dt),
+                w_att["bias"] if w_att is not None else None,
+                attention=cfg.attention,
+                norm_factor=cfg.normalization_factor,
+                row_tile=cfg.pallas_row_tile,
+                col_tile=cfg.pallas_col_tile,
+                interpret=cfg.pallas_interpret,
+                mxu_dtype=dt).astype(dt)
+            out = jax.nn.silu(_linear(
+                w_n1, jnp.concatenate([h.astype(dt), agg], axis=-1)))
+            h = h + _linear(w_n2, out).astype(h.dtype)
+            return h * node_mask[..., None].astype(h.dtype)
+
         tile, n_tiles, n_pad = ctx.tile, ctx.n_tiles, ctx.n_pad
         a_p = _pad_rows(a, n_pad)
 
@@ -290,6 +330,39 @@ class EquivariantUpdate(nn.Module):
             bc = _linear(w_cdst, h.astype(dt))
 
         n = h.shape[1]
+
+        if (ctx.full_adj is not None and self.edge_nf == 2
+                and cfg.aggregation_method == "sum"):
+            from diffndm_tpu.ops import pallas_egnn as PK
+
+            xf = ctx.x_full.astype(dt)
+            d2c = jnp.sum((xf[:, :, None, :] - xf[:, None, :, :]) ** 2,
+                          axis=-1)
+            d2i = ctx.full_d2i.astype(dt)
+            adj_f = ctx.full_adj.astype(dt)
+            common = dict(tanh=cfg.tanh, coords_range=self.coords_range,
+                          norm_constant=cfg.norm_constant,
+                          norm_factor=cfg.normalization_factor,
+                          row_tile=cfg.pallas_row_tile,
+                          col_tile=cfg.pallas_col_tile,
+                          interpret=cfg.pallas_interpret, mxu_dtype=dt)
+            agg = PK.edge_vector_reduce(
+                a, b, d2c, d2i, adj_f, xf, joint_center.astype(dt),
+                w_edg["kernel"].astype(dt), coord_tail[0]["kernel"],
+                coord_tail[0]["bias"], coord_tail[1]["kernel"],
+                cross=False, **common)
+            if cross_tail is not None:
+                agg = agg + PK.edge_vector_reduce(
+                    ac, bc, d2c, d2i, adj_f, xf, joint_center.astype(dt),
+                    w_cedg["kernel"].astype(dt), cross_tail[0]["kernel"],
+                    cross_tail[0]["bias"], cross_tail[1]["kernel"],
+                    cross=True, **common)
+            agg = agg.astype(dt)
+            if update_coords_mask is not None:
+                agg = agg * update_coords_mask.astype(dt)
+            x = x + agg.astype(x.dtype)
+            return x * node_mask[..., None].astype(x.dtype)
+
         tile, n_tiles, n_pad = ctx.tile, ctx.n_tiles, ctx.n_pad
         a_p = _pad_rows(a, n_pad)
         x_p = _pad_rows(x, n_pad)

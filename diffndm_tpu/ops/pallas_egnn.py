@@ -43,8 +43,8 @@ def _cdiv(a, b):
 # ---------------------------------------------------------------------------
 
 def _gcl_kernel(a_ref, b_ref, d2c_ref, d2i_ref, adj_ref, we_ref, w2_ref,
-                b2_ref, watt_ref, out_ref, *, attention: bool,
-                norm_factor: float):
+                b2_ref, watt_ref, batt_ref, out_ref, *, attention: bool,
+                norm_factor: float, mxu_dtype):
     c = pl.program_id(2)
 
     @pl.when(c == 0)
@@ -63,28 +63,28 @@ def _gcl_kernel(a_ref, b_ref, d2c_ref, d2i_ref, adj_ref, we_ref, w2_ref,
          + d2i[:, :, None] * we[1][None, None, :])
     z = jax.nn.silu(z)
     t, cc, h = z.shape
-    # bf16 operands onto the MXU, fp32 accumulation
+    # mxu_dtype operands onto the MXU, fp32 accumulation
     m = jax.nn.silu(
-        jnp.dot(z.reshape(t * cc, h).astype(jnp.bfloat16),
-                w2_ref[...].astype(jnp.bfloat16),
+        jnp.dot(z.reshape(t * cc, h).astype(mxu_dtype),
+                w2_ref[...].astype(mxu_dtype),
                 preferred_element_type=jnp.float32) + b2_ref[...])
     if attention:
         att = jax.nn.sigmoid(
-            jnp.dot(m.astype(jnp.bfloat16),
-                    watt_ref[...].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32))
+            jnp.dot(m.astype(mxu_dtype),
+                    watt_ref[...].astype(mxu_dtype),
+                    preferred_element_type=jnp.float32) + batt_ref[...])
         m = m * att
     m = m.reshape(t, cc, h) * adj[:, :, None]
     out_ref[0] += jnp.sum(m, axis=1) / norm_factor
 
 
-def gcl_messages(a, b, d2c, d2i, adj, we, w2, b2, watt,
+def gcl_messages(a, b, d2c, d2i, adj, we, w2, b2, watt, batt=None,
                  attention: bool = True, norm_factor: float = 100.0,
                  row_tile: int = 16, col_tile: int = 128,
-                 interpret: bool = False):
+                 interpret: bool = False, mxu_dtype=jnp.bfloat16):
     """a, b: [B, N, H] (pre-projected node terms, bias folded into b);
-    d2c/d2i/adj: [B, N, N]; we: [2, H]; w2: [H, H]; b2: [H]; watt: [H, 1].
-    Returns agg [B, N, H]."""
+    d2c/d2i/adj: [B, N, N]; we: [2, H]; w2: [H, H]; b2: [H]; watt: [H, 1];
+    batt: [1] attention bias.  Returns agg [B, N, H] float32."""
     bsz, n, h = a.shape
     t = min(row_tile, n)
     c = min(col_tile, n)
@@ -105,10 +105,12 @@ def gcl_messages(a, b, d2c, d2i, adj, we, w2, b2, watt,
     d2i_p = pad(d2i, rows=n_pad, cols=c_pad)
     adj_p = pad(adj, rows=n_pad, cols=c_pad)
 
+    if batt is None:
+        batt = jnp.zeros((1,), jnp.float32)
     grid = (bsz, n_pad // t, c_pad // c)
     out = pl.pallas_call(
         functools.partial(_gcl_kernel, attention=attention,
-                          norm_factor=norm_factor),
+                          norm_factor=norm_factor, mxu_dtype=mxu_dtype),
         out_shape=jax.ShapeDtypeStruct((bsz, n_pad, h), jnp.float32),
         grid=grid,
         in_specs=[
@@ -121,10 +123,11 @@ def gcl_messages(a, b, d2c, d2i, adj, we, w2, b2, watt,
             pl.BlockSpec((h, h), lambda bi, r, ci: (0, 0)),
             pl.BlockSpec((h,), lambda bi, r, ci: (0,)),
             pl.BlockSpec((h, 1), lambda bi, r, ci: (0, 0)),
+            pl.BlockSpec((1,), lambda bi, r, ci: (0,)),
         ],
         out_specs=pl.BlockSpec((1, t, h), lambda bi, r, ci: (bi, r, 0)),
         interpret=interpret,
-    )(a_p, b_p, d2c_p, d2i_p, adj_p, we, w2, b2, watt)
+    )(a_p, b_p, d2c_p, d2i_p, adj_p, we, w2, b2, watt, batt)
     return out[:, :n]
 
 
@@ -135,7 +138,7 @@ def gcl_messages(a, b, d2c, d2i, adj, we, w2, b2, watt,
 def _vec_kernel(a_ref, b_ref, d2c_ref, d2i_ref, adj_ref, xr_ref, xc_ref,
                 ctr_ref, we_ref, w2_ref, b2_ref, wout_ref, out_ref, *,
                 tanh: bool, coords_range: float, norm_constant: float,
-                cross: bool, norm_factor: float):
+                cross: bool, norm_factor: float, mxu_dtype):
     c = pl.program_id(2)
 
     @pl.when(c == 0)
@@ -155,11 +158,11 @@ def _vec_kernel(a_ref, b_ref, d2c_ref, d2i_ref, adj_ref, xr_ref, xc_ref,
     z = jax.nn.silu(z)
     t, cc, h = z.shape
     m = jax.nn.silu(
-        jnp.dot(z.reshape(t * cc, h).astype(jnp.bfloat16),
-                w2_ref[...].astype(jnp.bfloat16),
+        jnp.dot(z.reshape(t * cc, h).astype(mxu_dtype),
+                w2_ref[...].astype(mxu_dtype),
                 preferred_element_type=jnp.float32) + b2_ref[...])
-    phi = jnp.dot(m.astype(jnp.bfloat16),
-                  wout_ref[...].astype(jnp.bfloat16),
+    phi = jnp.dot(m.astype(mxu_dtype),
+                  wout_ref[...].astype(mxu_dtype),
                   preferred_element_type=jnp.float32).reshape(t, cc)
     if tanh:
         phi = jnp.tanh(phi) * coords_range
@@ -194,7 +197,8 @@ def edge_vector_reduce(a, b, d2c, d2i, adj, x, center, we, w2, b2, wout,
                        tanh: bool = True, coords_range: float = 15.0,
                        norm_constant: float = 1.0, cross: bool = False,
                        norm_factor: float = 100.0, row_tile: int = 16,
-                       col_tile: int = 128, interpret: bool = False):
+                       col_tile: int = 128, interpret: bool = False,
+                       mxu_dtype=jnp.bfloat16):
     """Returns agg [B, N, 3] = sum_j adj_ij * tanh(phi_ij) * range * v_ij.
 
     x: [B, N, 3]; center: [B, 1, 3] (joint COM, used when cross=True)."""
@@ -225,7 +229,7 @@ def edge_vector_reduce(a, b, d2c, d2i, adj, x, center, we, w2, b2, wout,
         functools.partial(_vec_kernel, tanh=tanh,
                           coords_range=coords_range,
                           norm_constant=norm_constant, cross=cross,
-                          norm_factor=norm_factor),
+                          norm_factor=norm_factor, mxu_dtype=mxu_dtype),
         out_shape=jax.ShapeDtypeStruct((bsz, n_pad, 3), jnp.float32),
         grid=grid,
         in_specs=[

@@ -146,6 +146,26 @@ def test_global_selection_gathers_origin_masks(setup):
                        * lm[origin][:, None]), atol=1e-6)
 
 
+def test_group_selection_stays_within_pocket_groups():
+    """group_size restricts the population top-k to each pocket's rows:
+    candidates never cross pocket groups, but CAN replicate within one."""
+    b, g, gs = 4, 2, 2  # 2 pockets x 2 samples, 2 groups of candidates
+    # flat index = g_i * b + row; rewards chosen so the global top-4 would
+    # all come from pocket group 0
+    rewards = jnp.asarray([9.0, 8.0, 1.0, 0.0,   # g=0, rows 0..3
+                           7.0, 6.0, 2.0, 0.5])  # g=1, rows 0..3
+    cfg = ATPConfig(group_size=gs)
+    sel = np.asarray(select_candidates(rewards, cfg, b))
+    rows = sel % b
+    # output rows 0..1 must come from pocket 0's rows {0,1}, rows 2..3
+    # from pocket 1's rows {2,3}
+    assert set(rows[:gs]) <= {0, 1}, rows
+    assert set(rows[gs:]) <= {2, 3}, rows
+    # pocket 1's best two are (g0,row2)=1.0 and (g1,row2)=2.0 -> row 2
+    # replicated, row 3 dropped (population selection within the pocket)
+    assert sorted(rows[gs:].tolist()) == [2, 2]
+
+
 def test_per_sample_selection_keeps_rows(setup):
     core = setup[0]
     lm, pm = _hetero_masks()

@@ -116,3 +116,41 @@ def test_non_divisible_shapes(data):
     want = oracle_gcl(data)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-3)
+
+
+def test_wired_model_matches_xla_path():
+    """EGNNDynamics with use_pallas (interpret mode, float32 MXU) must
+    reproduce the XLA row-tiled path on identical params — the gate for
+    running the fused kernels in production."""
+    import dataclasses
+
+    from diffndm_tpu.config import EGNNConfig
+    from diffndm_tpu.models.dynamics import EGNNDynamics
+
+    feat = 6
+    b, nl, npk = 2, 6, 10
+    base = EGNNConfig(hidden_nf=16, joint_nf=8, n_layers=2,
+                      inv_sublayers=1, attention=True, tanh=True,
+                      norm_constant=1.0, reflection_equivariant=False,
+                      edge_cutoff_ligand=None, edge_cutoff_pocket=5.0,
+                      edge_cutoff_interaction=5.0, row_tile=8)
+    pall = dataclasses.replace(base, use_pallas=True, pallas_interpret=True,
+                               pallas_row_tile=8, pallas_col_tile=8)
+    m_ref = EGNNDynamics(base, atom_nf=feat, residue_nf=feat)
+    m_pal = EGNNDynamics(pall, atom_nf=feat, residue_nf=feat)
+
+    key = jax.random.PRNGKey(0)
+    xh_lig = jax.random.normal(key, (b, nl, 3 + feat)) * 2
+    xh_poc = jax.random.normal(jax.random.PRNGKey(1), (b, npk, 3 + feat)) * 3
+    t = jnp.asarray([0.3, 0.8])
+    lm = jnp.asarray((np.arange(nl)[None] < np.array([[4], [6]])),
+                     jnp.float32)
+    pm = jnp.asarray((np.arange(npk)[None] < np.array([[7], [10]])),
+                     jnp.float32)
+    params = m_ref.init(key, xh_lig, xh_poc, t, lm, pm)
+
+    out_ref = m_ref.apply(params, xh_lig, xh_poc, t, lm, pm)
+    out_pal = m_pal.apply(params, xh_lig, xh_poc, t, lm, pm)
+    for r, p in zip(out_ref, out_pal):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)

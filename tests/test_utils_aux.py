@@ -129,3 +129,35 @@ def test_bindingmoad_label_parse(tmp_path):
     valid, splits = filter_and_split(d)
     assert "1abc" in valid and "2def" not in valid
     assert sum(len(v) for v in splits.values()) == len(valid)
+
+
+def test_profiler_trace_writes_files(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from diffndm_tpu.utils.profiling import StepTimer, annotate, trace
+
+    out = str(tmp_path / "trace")
+    with trace(out):
+        with annotate("matmul"):
+            y = jax.jit(lambda x: x @ x)(jnp.ones((32, 32)))
+            jax.block_until_ready(y)
+    import os
+
+    found = [f for _, _, fs in os.walk(out) for f in fs]
+    assert found, "no trace files written"
+
+    timer = StepTimer()
+    for _ in range(5):
+        with timer:
+            pass
+    s = timer.summary()
+    assert s["steps"] == 5 and s["min_s"] >= 0
+
+
+def test_trace_noop_without_dir(monkeypatch):
+    from diffndm_tpu.utils.profiling import trace
+
+    monkeypatch.delenv("DIFFNDM_TRACE_DIR", raising=False)
+    with trace():
+        pass
