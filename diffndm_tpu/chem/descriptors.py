@@ -331,6 +331,60 @@ def structural_alerts(mol: Molecule) -> int:
     for r in mol.rings:
         if len(r) == 3 and any(syms[a] in ("N", "O", "S") for a in r):
             n += 1
+    # --- extended Brenk-style rules (Brenk et al. 2008 list members that
+    # are graph-detectable without SMARTS) ---
+    for i, s in enumerate(syms):
+        # phosphorus / boron / silicon (each an alert class of its own)
+        if s in ("P", "B", "Si"):
+            n += 1
+        nb = mol.neighbors[i]
+        dbl = [j for j in nb if int(adj[i, j]) == 2]
+        if s == "N":
+            # azo / diazo: N=N
+            if any(syms[j] == "N" for j in dbl):
+                n += 1
+            # nitroso / N-oxide: exactly one N=O (nitro counted separately)
+            o_dbl = [j for j in dbl if syms[j] == "O"]
+            o_all = [j for j in nb if syms[j] == "O"]
+            if len(o_dbl) == 1 and len(o_all) == 1:
+                n += 1
+            # hydroxylamine-like N-O single bond (not nitro)
+            if any(int(adj[i, j]) == 1 and syms[j] == "O" for j in nb) \
+                    and len(o_all) == 1 and not o_dbl:
+                n += 1
+        if s == "C":
+            # thiocarbonyl C=S
+            if any(syms[j] == "S" for j in dbl):
+                n += 1
+            # allene / cumulated double bonds C=C=C
+            if len([j for j in dbl if syms[j] == "C"]) >= 2:
+                n += 1
+            # triple bond (alkyne / nitrile-adjacent handled by bond order)
+            if any(int(adj[i, j]) == 3 and syms[j] == "C"
+                   for j in nb):
+                n += 1
+            # thioester C(=O)-S
+            if any(syms[j] == "O" for j in dbl) and \
+                    any(int(adj[i, j]) == 1 and syms[j] == "S"
+                        for j in nb):
+                n += 1
+            # enol ether / enamine: acyclic C=C with O/N substituent
+            if not mol.ring_membership[i]:
+                for j in dbl:
+                    if syms[j] == "C" and not mol.ring_membership[j]:
+                        if any(int(adj[i, k]) == 1
+                               and syms[k] in ("O", "N")
+                               for k in nb if k != j):
+                            n += 1
+        if s == "S":
+            # sulfonic acid / sulfonate ester: S(=O)(=O)-O
+            o_dbl = [j for j in dbl if syms[j] == "O"]
+            if len(o_dbl) >= 2 and any(
+                    int(adj[i, j]) == 1 and syms[j] == "O" for j in nb):
+                n += 1
+    # alkyne counted once per bond, not per endpoint
+    n -= sum(1 for i, j, o in mol.bonds
+             if o == 3 and syms[i] == "C" and syms[j] == "C")
     return n
 
 
