@@ -56,11 +56,17 @@ def main():
                          os.environ.get("BENCH_PALLAS_COL", 128)))
     module = EGNNDynamics(cfg, atom_nf=atom_nf, residue_nf=atom_nf)
     key = jax.random.PRNGKey(0)
-    # init on CPU: avoids a TPU compile of the init program at startup
+    # init on CPU: avoids a TPU compile of the init program at startup.
+    # The init forward must not take the Pallas path (CPU supports only
+    # interpret mode); the param tree is identical either way.
+    import dataclasses as _dc
+
+    init_module = EGNNDynamics(_dc.replace(cfg, use_pallas=False),
+                               atom_nf=atom_nf, residue_nf=atom_nf)
     with jax.default_device(jax.devices("cpu")[0]):
-        params = module.init(key, jnp.zeros((1, NL, 13)),
-                             jnp.zeros((1, NP, 13)), jnp.zeros((1,)),
-                             jnp.ones((1, NL)), jnp.ones((1, NP)))
+        params = init_module.init(key, jnp.zeros((1, NL, 13)),
+                                  jnp.zeros((1, NP, 13)), jnp.zeros((1,)),
+                                  jnp.ones((1, NL)), jnp.ones((1, NP)))
     core = CondDiffusion(S.make_schedule("polynomial_2", 500, 5e-4),
                          DiffusionConfig(timesteps=500), atom_nf, atom_nf)
     DP = dataset_params["crossdock_full"]

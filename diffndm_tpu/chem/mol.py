@@ -39,7 +39,13 @@ class Molecule:
     symbols: List[str]
     bonds: List[Tuple[int, int, int]]
     coords: Optional[np.ndarray] = None
+    # formal charges per atom (None = all neutral); only SMILES-derived
+    # molecules carry charges, generated point clouds are neutral
+    charges: Optional[List[int]] = None
     _cache: dict = field(default_factory=dict, repr=False)
+
+    def charge(self, i: int) -> int:
+        return 0 if self.charges is None else int(self.charges[i])
 
     # -- basic graph -------------------------------------------------------
     @property
@@ -88,6 +94,15 @@ class Molecule:
         dv = _ORGANIC_DEFAULT_VALENCE.get(sym)
         if dv is None:
             return 0
+        q = self.charge(i)
+        if q:
+            # standard formal-charge valence adjustment: +1 raises the
+            # default valence for N/P/O/S ([NH4+], [OH3+]), -1 lowers it
+            # ([O-], [S-]); carbanions/boranides lose a slot either way
+            if sym in ("N", "P", "O", "S"):
+                dv = dv + q
+            else:
+                dv = dv - abs(q)
         return max(0, dv - self.bond_order_sum(i))
 
     def total_h(self, i: int) -> int:

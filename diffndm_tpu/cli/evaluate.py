@@ -33,6 +33,11 @@ def main(argv=None):
                    help="directory of SDF files (or a single file)")
     p.add_argument("--expected_per_file", type=int, default=20)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--per_step", action="store_true",
+                   help="group files by the trailing step number in their "
+                        "names (e.g. try_100.sdf from the frame tap) and "
+                        "report per-step aggregates, sorted by step "
+                        "(reference my_new_evaluate_with_step.py)")
     args = p.parse_args(argv)
 
     from diffndm_tpu.chem.metrics import MoleculeProperties
@@ -42,6 +47,38 @@ def main(argv=None):
              sorted(os.path.join(args.sdf_dir, f)
                     for f in os.listdir(args.sdf_dir)
                     if f.endswith(".sdf")))
+    if args.per_step:
+        import re
+
+        by_step = {}
+        for path in paths:
+            m = re.search(r"(\d+)\.sdf$", os.path.basename(path))
+            if not m:
+                continue
+            by_step.setdefault(int(m.group(1)), []).append(path)
+        lines = []
+        for step in sorted(by_step):
+            rows = []
+            for path in by_step[step]:
+                rows += [r for r in check_sdf_file(path, props) if r[4]]
+            if not rows:
+                lines.append(f"step {step}: no valid molecules")
+                continue
+            arr = np.array(rows, dtype=float)
+            lines.append(
+                f"step {step}: QED: {arr[:, 0].mean():.3f} +/- "
+                f"{arr[:, 0].std():.2f}, SA: {arr[:, 1].mean():.3f} +/- "
+                f"{arr[:, 1].std():.2f}, LogP: {arr[:, 2].mean():.3f} +/- "
+                f"{arr[:, 2].std():.2f}, Lipinski: "
+                f"{arr[:, 3].mean():.3f} +/- {arr[:, 3].std():.2f} "
+                f"n: {len(rows)}")
+        report = "\n".join(lines)
+        print(report)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(report + "\n")
+        return
+
     all_rows, lines = [], []
     for path in paths:
         rows = check_sdf_file(path, props)

@@ -19,8 +19,11 @@ def build_parser():
     p.add_argument("--pdbfile", type=str, required=True)
     p.add_argument("--outfile", type=str, required=True)
     p.add_argument("--ref_ligand", type=str, default=None)
-    p.add_argument("--fix_atoms", type=str, required=True,
-                   help="SDF with the fixed substructure")
+    p.add_argument("--fix_atoms", type=str, nargs="+", required=True,
+                   help="SDF file(s) with the fixed substructure, OR a "
+                        "list of PDB atom names (e.g. C1 C2 N3) taken "
+                        "from the --ref_ligand residue of --pdbfile "
+                        "(reference inpaint.py:19-60)")
     p.add_argument("--n_samples", type=int, default=20)
     p.add_argument("--add_n_nodes", type=int, default=10)
     p.add_argument("--center", type=str, default="ligand",
@@ -35,20 +38,63 @@ def build_parser():
     return p
 
 
-def prepare_inpaint_ligand(model, fix_atoms_sdf: str, n_samples: int,
-                           add_n_nodes: int):
+def substructure_coords_types(model, fix_atoms, pdbfile=None,
+                              ref_ligand=None):
+    """Fixed-substructure coordinates + type indices from SDF file(s) or
+    from PDB atom names of the reference ligand residue
+    (reference prepare_substructure, inpaint.py:19-60)."""
+    enc = {k: v for k, v in model.dataset_info["atom_encoder"].items()
+           if v < model.cfg.atom_nf}
+    if isinstance(fix_atoms, str):
+        fix_atoms = [fix_atoms]
+    if fix_atoms[0].endswith(".sdf"):
+        from diffndm_tpu.chem.io import read_sdf
+
+        coords, types = [], []
+        for path in fix_atoms:
+            frag = read_sdf(path)[0]
+            for i, s in enumerate(frag.symbols):
+                if s in enc:
+                    coords.append(np.asarray(frag.coords)[i])
+                    types.append(enc[s])
+        return np.asarray(coords, np.float32), np.asarray(types)
+
+    # PDB atom-name mode: atoms of the <chain>:<resi> HETATM residue
+    from diffndm_tpu.data.pdb import parse_pdb
+
+    if pdbfile is None or ref_ligand is None:
+        raise ValueError("--fix_atoms with atom names needs --pdbfile "
+                         "and --ref_ligand <chain>:<resi>")
+    chain, resi = ref_ligand.split(":")
+    structure = parse_pdb(pdbfile)
+    residue = None
+    for res in structure.residues:
+        if res.chain == chain and res.resi == int(resi):
+            residue = res
+            break
+    if residue is None:
+        raise ValueError(f"residue {ref_ligand} not found in {pdbfile}")
+    wanted = set(fix_atoms)
+    coords, types = [], []
+    for a in residue.atoms:
+        if a.name in wanted and a.element in enc:
+            coords.append(a.coord)
+            types.append(enc[a.element])
+    if not coords:
+        raise ValueError(f"no atoms named {sorted(wanted)} in {ref_ligand}")
+    return np.asarray(coords, np.float32), np.asarray(types)
+
+
+def prepare_inpaint_ligand(model, fix_atoms, n_samples: int,
+                           add_n_nodes: int, pdbfile=None,
+                           ref_ligand=None):
     """Fixed-fragment ligand batch + fixed mask (inpaint.py:104-141)."""
     import jax.numpy as jnp
 
-    from diffndm_tpu.chem.io import read_sdf
     from diffndm_tpu.structs import NodeBatch, pad_to
 
-    frag = read_sdf(fix_atoms_sdf)[0]
-    enc = {k: v for k, v in model.dataset_info["atom_encoder"].items()
-           if v < model.cfg.atom_nf}
-    keep = [i for i, s in enumerate(frag.symbols) if s in enc]
-    coords = np.asarray(frag.coords)[keep]
-    types = np.asarray([enc[frag.symbols[i]] for i in keep])
+    coords, types = substructure_coords_types(model, fix_atoms, pdbfile,
+                                              ref_ligand)
     n_fixed = len(coords)
     n_total = n_fixed + add_n_nodes
     nl = pad_to(n_total, model.sample_cfg.lig_pad_multiple)
@@ -82,8 +128,12 @@ def main(argv=None):
     model = load_model(args)
 
     ligand, lig_fixed = prepare_inpaint_ligand(
-        model, args.fix_atoms, args.n_samples, args.add_n_nodes)
-    ref = args.ref_ligand or args.fix_atoms
+        model, args.fix_atoms, args.n_samples, args.add_n_nodes,
+        pdbfile=args.pdbfile, ref_ligand=args.ref_ligand)
+    if args.fix_atoms[0].endswith(".sdf"):
+        ref = args.ref_ligand or args.fix_atoms[0]
+    else:
+        ref = args.ref_ligand  # <chain>:<resi> of the reference ligand
     pocket = model.pocket_from_pdb(args.pdbfile, ref, args.n_samples)
 
     res = model.inpaint_sampler.inpaint(

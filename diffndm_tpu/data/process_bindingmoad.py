@@ -33,18 +33,64 @@ def read_label_file(csv_path: str) -> Dict[str, list]:
             if len(row) > 3 and row[3].strip() and pdb_id:
                 name = row[3].strip()
                 validity = row[4].strip() if len(row) > 4 else ""
-                ligand_dict[pdb_id].append((name, validity, ec))
+                smiles = row[9].strip() if len(row) > 9 else ""
+                ligand_dict[pdb_id].append((name, validity, ec, smiles))
     return dict(ligand_dict)
+
+
+def compute_druglikeness(ligand_dict: Dict[str, list]) -> Dict[str, list]:
+    """Append a QED value to each ligand entry, computed from its SMILES
+    (reference compute_druglikeness, process_bindingmoad.py:75-93; RDKit's
+    QED.qed replaced by the in-package SMILES parser + QED)."""
+    import warnings
+
+    from diffndm_tpu.chem.properties import qed
+    from diffndm_tpu.chem.smiles import SmilesError, parse_smiles
+
+    out: Dict[str, list] = {}
+    for pdb, ligands in ligand_dict.items():
+        rows = []
+        for entry in ligands:
+            name, validity, ec = entry[0], entry[1], entry[2]
+            smiles = entry[3] if len(entry) > 3 else ""
+            try:
+                q = qed(parse_smiles(smiles)) if smiles else None
+            except (SmilesError, Exception) as e:
+                warnings.warn(
+                    f"could not score ligand {pdb}:{name} from SMILES "
+                    f"{smiles!r}: {e}")
+                q = None
+            rows.append((name, validity, ec, smiles, q))
+        out[pdb] = rows
+    return out
 
 
 def filter_and_split(ligand_dict: Dict[str, list],
                      val_fraction: float = 0.05,
-                     test_fraction: float = 0.05, seed: int = 0):
-    """Keep 'valid' ligands; split complexes by EC number so no enzyme
-    family spans splits (reference :96-177)."""
+                     test_fraction: float = 0.05, seed: int = 0,
+                     qed_thresh: float = 0.0,
+                     max_occurrences: Optional[int] = None):
+    """Keep 'valid' ligands above the QED threshold (reference
+    filter_and_flatten, :96-119: qed_thresh default 0.3, per-ligand-name
+    occurrence cap); split complexes by EC number so no enzyme family
+    spans splits (:122-177)."""
+    occ: Dict[str, int] = defaultdict(int)
     valid = {}
     for pdb, ligands in ligand_dict.items():
-        keep = [l for l in ligands if l[1].lower() == "valid"]
+        keep = []
+        for l in ligands:
+            if l[1].lower() != "valid":
+                continue
+            if qed_thresh > 0:
+                q = l[4] if len(l) > 4 else None
+                if q is None or q <= qed_thresh:
+                    continue
+            name = l[0].split(":")[0]
+            if max_occurrences is not None:
+                if occ[name] >= max_occurrences:
+                    continue
+                occ[name] += 1
+            keep.append(l)
         if keep:
             valid[pdb] = keep
 
@@ -70,7 +116,9 @@ def filter_and_split(ligand_dict: Dict[str, list],
 
 def process_bindingmoad(data_dir: str, every_csv: str, outdir: str,
                         dataset_info: Optional[dict] = None,
-                        dist_cutoff: float = 8.0, ca_only: bool = False):
+                        dist_cutoff: float = 8.0, ca_only: bool = False,
+                        qed_thresh: float = 0.3,
+                        max_occurrences: Optional[int] = 50):
     """Full pipeline: expects <data_dir>/<pdb_id>.bio1 (PDB format) files.
 
     Ligands are the HETATM residues named in the label file; pockets are
@@ -87,7 +135,10 @@ def process_bindingmoad(data_dir: str, every_csv: str, outdir: str,
     aa_enc = di["aa_encoder"] if ca_only else di["atom_encoder"]
 
     ligand_dict = read_label_file(every_csv)
-    valid, splits = filter_and_split(ligand_dict)
+    if qed_thresh > 0:
+        ligand_dict = compute_druglikeness(ligand_dict)
+    valid, splits = filter_and_split(ligand_dict, qed_thresh=qed_thresh,
+                                     max_occurrences=max_occurrences)
     os.makedirs(outdir, exist_ok=True)
 
     def process_pdb(pdb_id):
@@ -98,7 +149,8 @@ def process_bindingmoad(data_dir: str, every_csv: str, outdir: str,
             return []
         structure = parse_pdb(path)
         out = []
-        for lig_name, _, _ in valid.get(pdb_id, []):
+        for entry in valid.get(pdb_id, []):
+            lig_name = entry[0]
             resname = lig_name.split(":")[0][:3]
             lig_res = [r for r in structure.residues
                        if r.resname == resname and not r.is_standard_aa]

@@ -87,6 +87,37 @@ def process_ligand_and_pocket(pdbfile: str, sdffile: str,
                             pocket_one_hot, name)
 
 
+def pocket_residue_ids(pdbfile: str, lig_coords: np.ndarray,
+                       dist_cutoff: float = 8.0) -> List[str]:
+    """'<chain>:<resi>' ids of the pocket residues — written to the
+    per-complex txt files of the val/test export
+    (process_crossdock.py:370-372)."""
+    structure = parse_pdb(pdbfile)
+    ids = []
+    for res in structure.residues:
+        if not res.is_standard_aa:
+            continue
+        rc = res.coords()
+        d = np.linalg.norm(rc[:, None] - lig_coords[None], axis=-1)
+        if d.min() < dist_cutoff:
+            ids.append(f"{res.chain}:{res.resi}")
+    return ids
+
+
+def load_split_file(path: str) -> Dict[str, List[Tuple[str, str]]]:
+    """Read a fixed-name data split: the reference's ``split_by_name.pt``
+    (torch pickle of {'train'|'test': [(pocket_fn, ligand_fn), ...]},
+    process_crossdock.py:280-281), or the same structure as .json."""
+    if path.endswith(".pt"):
+        import torch
+
+        return torch.load(path, map_location="cpu", weights_only=False)
+    import json
+
+    with open(path) as f:
+        return {k: [tuple(x) for x in v] for k, v in json.load(f).items()}
+
+
 @dataclass
 class ProcessedSplits:
     outdir: str
@@ -100,44 +131,102 @@ def process_dataset(pairs: Sequence[Tuple[str, str]], outdir: str,
                     split_fractions=(0.9, 0.05, 0.05),
                     dist_cutoff: float = 8.0, ca_only: bool = False,
                     train_subsample: float = 1.0, seed: int = 0,
-                    dataset_info: Optional[dict] = None) -> ProcessedSplits:
+                    dataset_info: Optional[dict] = None,
+                    split_names: Optional[dict] = None,
+                    basedir: Optional[str] = None,
+                    val_from_train: int = 300,
+                    export_test_data: bool = True) -> ProcessedSplits:
     """Full ETL: list of (pdb, sdf) path pairs -> train/val/test npz +
-    statistics files in ``outdir``."""
+    statistics files in ``outdir``.
+
+    split_names: fixed-name split ({'train'|'test': [(pdb, sdf), ...]},
+    the split_by_name.pt equivalent, see load_split_file). Paths may be
+    relative to ``basedir``.  When given, ``pairs``/``split_fractions``
+    are ignored, and the val split is ``val_from_train`` training pairs
+    (the reference's behaviour, process_crossdock.py:283-288).
+
+    export_test_data: copy each val/test receptor PDB + ligand SDF and
+    write the pocket-residue txt next to the npz (:359-372) so the
+    benchmark sweep is reproducible from the processed directory alone.
+    """
+    import random as _random
+    import shutil
+
     from diffndm_tpu.chem.bonds import build_molecule
     from diffndm_tpu.diffusion.node_distribution import smoothed_histogram
 
     os.makedirs(outdir, exist_ok=True)
-    processed: List[LigandPocketPair] = []
-    for pdbfile, sdffile in pairs:
-        try:
-            pair = process_ligand_and_pocket(
-                pdbfile, sdffile, atom_encoder, pocket_encoder,
-                dist_cutoff, ca_only)
-        except Exception:
-            pair = None
-        if pair is not None:
-            processed.append(pair)
 
-    rng = np.random.default_rng(seed)
-    order = rng.permutation(len(processed))
-    n = len(processed)
-    n_train = int(split_fractions[0] * n)
-    n_val = int(split_fractions[1] * n)
-    splits = {
-        "train": [processed[i] for i in order[:n_train]],
-        "val": [processed[i] for i in order[n_train:n_train + n_val]],
-        "test": [processed[i] for i in order[n_train + n_val:]],
-    }
-    if train_subsample < 1.0 and splits["train"]:
-        k = max(1, int(len(splits["train"]) * train_subsample))
-        splits["train"] = splits["train"][:k]
+    def process_list(pair_list):
+        out = []
+        for pdbfile, sdffile in pair_list:
+            if basedir is not None:
+                pdbfile = os.path.join(basedir, pdbfile)
+                sdffile = os.path.join(basedir, sdffile)
+            try:
+                pair = process_ligand_and_pocket(
+                    pdbfile, sdffile, atom_encoder, pocket_encoder,
+                    dist_cutoff, ca_only)
+            except Exception:
+                pair = None
+            if pair is not None:
+                out.append((pair, pdbfile, sdffile))
+        return out
+
+    if split_names is not None:
+        rnd = _random.Random(seed)
+        named = dict(split_names)
+        if "val" not in named and named.get("train"):
+            named["val"] = rnd.sample(
+                list(named["train"]),
+                min(val_from_train, len(named["train"])))
+        split_items = {k: process_list(v) for k, v in named.items()}
+    else:
+        processed = process_list(pairs)
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(processed))
+        n = len(processed)
+        n_train = int(split_fractions[0] * n)
+        n_val = int(split_fractions[1] * n)
+        split_items = {
+            "train": [processed[i] for i in order[:n_train]],
+            "val": [processed[i] for i in order[n_train:n_train + n_val]],
+            "test": [processed[i] for i in order[n_train + n_val:]],
+        }
+    if train_subsample < 1.0 and split_items["train"]:
+        k = max(1, int(len(split_items["train"]) * train_subsample))
+        split_items["train"] = split_items["train"][:k]
+
+    # per-pocket val/test export (:359-372)
+    if export_test_data:
+        for split in ("val", "test"):
+            items = split_items.get(split, [])
+            if not items:
+                continue
+            pdb_sdf_dir = os.path.join(outdir, split)
+            os.makedirs(pdb_sdf_dir, exist_ok=True)
+            for pair, pdbfile, sdffile in items:
+                rec = os.path.basename(pdbfile)[:-4].replace("_", "-")
+                shutil.copy(pdbfile,
+                            os.path.join(pdb_sdf_dir, rec + ".pdb"))
+                lig = rec + "_" + \
+                    os.path.basename(sdffile)[:-4].replace("_", "-")
+                shutil.copy(sdffile,
+                            os.path.join(pdb_sdf_dir, lig + ".sdf"))
+                ids = pocket_residue_ids(pdbfile, pair.lig_coords,
+                                         dist_cutoff)
+                with open(os.path.join(pdb_sdf_dir, lig + ".txt"),
+                          "w") as f:
+                    f.write(" ".join(ids))
+
+    splits = {k: [it[0] for it in v] for k, v in split_items.items()}
 
     for name, ps in splits.items():
         if ps:
             save_npz_split(os.path.join(outdir, f"{name}.npz"), ps)
 
     # statistics from the train split
-    train = splits["train"] or processed
+    train = splits["train"] or [p for ps in splits.values() for p in ps]
     hist = smoothed_histogram([len(p.lig_coords) for p in train],
                               [len(p.pocket_coords) for p in train])
     np.save(os.path.join(outdir, "size_distribution.npy"), hist)
@@ -166,11 +255,78 @@ def process_dataset(pairs: Sequence[Tuple[str, str]], outdir: str,
         np.save(os.path.join(outdir, "train_smiles.npy"),
                 np.array(keys))
 
+    # bond-length arrays + Lennard-Jones r_m for the atom mapping
+    # (process_crossdock.py:173-218), emitted in the reference's
+    # summary.txt format (:417-441) so the block can be pasted into a
+    # dataset_params entry
+    from diffndm_tpu.constants import (BONDS1, BONDS2, BONDS3, _lj_table,
+                                       _sym_table)
+
+    atom_list = list(atom_encoder)
+    bonds1 = _sym_table(BONDS1, atom_list)
+    bonds2 = _sym_table(BONDS2, atom_list)
+    bonds3 = _sym_table(BONDS3, atom_list)
+    rm_lj = _lj_table(atom_list)
+
     with open(os.path.join(outdir, "summary.txt"), "w") as f:
-        f.write(f"processed {n} complexes\n")
+        f.write("# SUMMARY\n\n# After processing\n")
         for name, ps in splits.items():
-            f.write(f"{name}: {len(ps)}\n")
-        f.write(f"atom_hist: {atom_hist}\n")
-        f.write(f"aa_hist: {aa_hist}\n")
+            f.write(f"num_samples {name}: {len(ps)}\n")
+        f.write("\n# Info\n")
+        f.write(f"'atom_encoder': {dict(atom_encoder)}\n")
+        f.write(f"'atom_decoder': {atom_list}\n")
+        f.write(f"'aa_encoder': {dict(pocket_encoder)}\n")
+        f.write(f"'aa_decoder': {list(pocket_encoder)}\n")
+        f.write(f"'bonds1': {bonds1.tolist()}\n")
+        f.write(f"'bonds2': {bonds2.tolist()}\n")
+        f.write(f"'bonds3': {bonds3.tolist()}\n")
+        f.write(f"'lennard_jones_rm': {rm_lj.tolist()}\n")
+        f.write(f"'atom_hist': {atom_hist}\n")
+        f.write(f"'aa_hist': {aa_hist}\n")
 
     return ProcessedSplits(outdir, hist, atom_hist, aa_hist)
+
+
+def main(argv=None):
+    """CLI mirroring the reference's process_crossdock.py argparse
+    (basedir with split_by_name.pt + crossdocked_pocket10 tree)."""
+    import argparse
+
+    from diffndm_tpu.constants import dataset_params
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("basedir", type=str)
+    p.add_argument("--outdir", type=str, required=True)
+    p.add_argument("--split_file", type=str, default=None,
+                   help="split_by_name.pt / .json; default "
+                        "<basedir>/split_by_name.pt")
+    p.add_argument("--no_H", action="store_true", default=True)
+    p.add_argument("--ca_only", action="store_true")
+    p.add_argument("--dist_cutoff", type=float, default=8.0)
+    p.add_argument("--random_seed", type=int, default=42)
+    p.add_argument("--train_subsample", type=float, default=1.0,
+                   help="keep this fraction of train complexes "
+                        "(new_process_crossdock.py:282-295 uses 0.1)")
+    p.add_argument("--no_export", action="store_true",
+                   help="skip the per-pocket val/test pdb/sdf/txt export")
+    args = p.parse_args(argv)
+
+    split_path = args.split_file or os.path.join(args.basedir,
+                                                 "split_by_name.pt")
+    split_names = load_split_file(split_path)
+    ds = "crossdock" if args.ca_only else "crossdock_full"
+    di = dataset_params[ds]
+    enc = di["atom_encoder"]
+    pocket_enc = di["aa_encoder"] if args.ca_only else di["atom_encoder"]
+    process_dataset(None, args.outdir, enc, pocket_enc,
+                    dist_cutoff=args.dist_cutoff, ca_only=args.ca_only,
+                    train_subsample=args.train_subsample,
+                    seed=args.random_seed, dataset_info=di,
+                    split_names=split_names,
+                    basedir=os.path.join(args.basedir,
+                                         "crossdocked_pocket10"),
+                    export_test_data=not args.no_export)
+
+
+if __name__ == "__main__":
+    main()

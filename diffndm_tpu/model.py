@@ -50,9 +50,17 @@ class DiffNDM:
                                    residue_nf=model_cfg.residue_nf)
         if params is None:
             nl, npk = 8, 16
-            # init on CPU: avoids a TPU compile of the init program
+            # init on CPU: avoids a TPU compile of the init program; use a
+            # non-Pallas clone (CPU only supports interpret mode, and the
+            # param tree is identical either way)
+            import dataclasses as _dc
+
+            init_module = EGNNDynamics(
+                _dc.replace(model_cfg.egnn, use_pallas=False),
+                atom_nf=model_cfg.atom_nf,
+                residue_nf=model_cfg.residue_nf)
             with jax.default_device(jax.devices("cpu")[0]):
-                params = self.module.init(
+                params = init_module.init(
                     key,
                     jnp.zeros((1, nl, 3 + model_cfg.atom_nf)),
                     jnp.zeros((1, npk, 3 + model_cfg.residue_nf)),

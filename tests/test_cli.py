@@ -31,6 +31,19 @@ def test_evaluate_cli(tmp_path, capsys):
     assert "AGGREGATE" in report and "QED=" in report
 
 
+def test_evaluate_cli_per_step(tmp_path):
+    from diffndm_tpu.cli.evaluate import main
+
+    for step in (100, 20, 300):
+        _write_mols_sdf(str(tmp_path / f"try_{step}.sdf"))
+    out = str(tmp_path / "steps.txt")
+    main([str(tmp_path), "--per_step", "--out", out])
+    lines = open(out).read().strip().splitlines()
+    steps = [int(l.split()[1].rstrip(":")) for l in lines]
+    assert steps == sorted(steps) == [20, 100, 300]
+    assert all("QED:" in l and "SA:" in l for l in lines)
+
+
 def test_plot_cli(tmp_path):
     from diffndm_tpu.cli.evaluate import main as eval_main
     from diffndm_tpu.cli.plot import main as plot_main
