@@ -335,7 +335,11 @@ class EquivariantUpdate(nn.Module):
                 and cfg.aggregation_method == "sum"):
             from diffndm_tpu.ops import pallas_egnn as PK
 
+            # coordinates stay fp32 inside the vector kernel (direction
+            # math + Mosaic's 32-bit-only scalar handling); the hidden
+            # feature chain runs in compute_dtype
             xf = ctx.x_full.astype(dt)
+            xf32 = ctx.x_full.astype(jnp.float32)
             d2c = jnp.sum((xf[:, :, None, :] - xf[:, None, :, :]) ** 2,
                           axis=-1)
             d2i = ctx.full_d2i.astype(dt)
@@ -346,14 +350,15 @@ class EquivariantUpdate(nn.Module):
                           row_tile=cfg.pallas_row_tile,
                           col_tile=cfg.pallas_col_tile,
                           interpret=cfg.pallas_interpret, mxu_dtype=dt)
+            ctr32 = joint_center.astype(jnp.float32)
             agg = PK.edge_vector_reduce(
-                a, b, d2c, d2i, adj_f, xf, joint_center.astype(dt),
+                a, b, d2c, d2i, adj_f, xf32, ctr32,
                 w_edg["kernel"].astype(dt), coord_tail[0]["kernel"],
                 coord_tail[0]["bias"], coord_tail[1]["kernel"],
                 cross=False, **common)
             if cross_tail is not None:
                 agg = agg + PK.edge_vector_reduce(
-                    ac, bc, d2c, d2i, adj_f, xf, joint_center.astype(dt),
+                    ac, bc, d2c, d2i, adj_f, xf32, ctr32,
                     w_cedg["kernel"].astype(dt), cross_tail[0]["kernel"],
                     cross_tail[0]["bias"], cross_tail[1]["kernel"],
                     cross=True, **common)

@@ -53,10 +53,12 @@ def _gcl_kernel(a_ref, b_ref, d2c_ref, d2i_ref, adj_ref, we_ref, w2_ref,
 
     a = a_ref[0]          # [T, H]
     b = b_ref[0]          # [C, H]
-    d2c = d2c_ref[0]      # [T, C]
-    d2i = d2i_ref[0]      # [T, C]
-    adj = adj_ref[0]      # [T, C]
-    we = we_ref[...]      # [2, H]
+    # Mosaic only supports minor-dim insertion ([:, :, None]) for 32-bit
+    # types — widen the scalar edge planes before broadcasting
+    d2c = d2c_ref[0].astype(jnp.float32)      # [T, C]
+    d2i = d2i_ref[0].astype(jnp.float32)      # [T, C]
+    adj = adj_ref[0].astype(jnp.float32)      # [T, C]
+    we = we_ref[...].astype(jnp.float32)      # [2, H]
 
     z = (a[:, None, :] + b[None, :, :]
          + d2c[:, :, None] * we[0][None, None, :]
@@ -147,10 +149,10 @@ def _vec_kernel(a_ref, b_ref, d2c_ref, d2i_ref, adj_ref, xr_ref, xc_ref,
 
     a = a_ref[0]
     b = b_ref[0]
-    d2c = d2c_ref[0]
-    d2i = d2i_ref[0]
-    adj = adj_ref[0]
-    we = we_ref[...]
+    d2c = d2c_ref[0].astype(jnp.float32)
+    d2i = d2i_ref[0].astype(jnp.float32)
+    adj = adj_ref[0].astype(jnp.float32)
+    we = we_ref[...].astype(jnp.float32)
 
     z = (a[:, None, :] + b[None, :, :]
          + d2c[:, :, None] * we[0][None, None, :]
@@ -173,9 +175,10 @@ def _vec_kernel(a_ref, b_ref, d2c_ref, d2i_ref, adj_ref, xr_ref, xc_ref,
     xc = xc_ref[0]  # [C, 3]
     w = phi * adj  # [T, C]
     if cross:
-        ctr = ctr_ref[0]  # [1, 3]
-        va = [(xr[:, k] - ctr[0, k])[:, None] for k in range(3)]
-        vb = [(xc[:, k] - ctr[0, k])[None, :] for k in range(3)]
+        ctr = ctr_ref[0]  # [1, 3]; slice (not scalar-index) — Mosaic only
+        # converts 32-bit elements to scalars
+        va = [(xr[:, k:k + 1] - ctr[:, k:k + 1]) for k in range(3)]
+        vb = [(xc[:, k:k + 1] - ctr[:, k:k + 1]).T for k in range(3)]
         vx = va[1] * vb[2] - va[2] * vb[1]
         vy = va[2] * vb[0] - va[0] * vb[2]
         vz = va[0] * vb[1] - va[1] * vb[0]
