@@ -53,7 +53,9 @@ def main():
                      pallas_row_tile=int(
                          os.environ.get("BENCH_PALLAS_ROW", 16)),
                      pallas_col_tile=int(
-                         os.environ.get("BENCH_PALLAS_COL", 128)))
+                         os.environ.get("BENCH_PALLAS_COL", 128)),
+                     band_window=int(
+                         os.environ.get("BENCH_BAND", 0)) or None)
     module = EGNNDynamics(cfg, atom_nf=atom_nf, residue_nf=atom_nf)
     key = jax.random.PRNGKey(0)
     # init on CPU: avoids a TPU compile of the init program at startup.

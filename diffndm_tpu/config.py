@@ -53,6 +53,14 @@ class EGNNConfig:
     # Fixed-K nearest-neighbour lists instead of dense N columns (exact as
     # long as every node has <= K edges under the cutoffs); None = dense.
     neighbors: Optional[int] = None
+    # Sorted-band sparsity (models/banding.py): pocket nodes sorted along
+    # their principal axis; pocket-row tiles see [ligand block + this many
+    # contiguous sorted-pocket columns] instead of all N columns.  EXACT
+    # when (band_window - row_tile)/2 >= banding.band_halfwidth_atoms(
+    # pocket, cutoff) — the 1-D projection bound guarantees every pair
+    # within the cutoff stays inside the window.  None = off.  Mutually
+    # exclusive with `neighbors` and the Pallas path.
+    band_window: Optional[int] = None
 
 
 @dataclass(frozen=True)

@@ -20,6 +20,7 @@ Invalid molecules score 0 in every term (metrics.evaluate_new:318-339).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Callable, Optional
 
@@ -41,9 +42,14 @@ class RewardOracle:
     """Builds molecules from (coords, type one-hot, mask) batches and
     scores them with a configurable weighted reward."""
 
-    def __init__(self, dataset_info: dict, num_workers: int = 0):
+    def __init__(self, dataset_info: dict,
+                 num_workers: Optional[int] = None):
         self.dataset_info = dataset_info
         self.props = MoleculeProperties()
+        if num_workers is None:
+            # default from the environment; scoring is ~0.6 ms/molecule so
+            # the pool only pays off for large guidance populations
+            num_workers = int(os.environ.get("DIFFNDM_ORACLE_WORKERS", 0))
         self.num_workers = num_workers
         self._pool = None
         # invalid-molecule accounting: invalid latents are EXPECTED during
@@ -101,7 +107,11 @@ class RewardOracle:
         if self._pool is None:
             import multiprocessing as mp
 
-            self._pool = mp.get_context("fork").Pool(self.num_workers)
+            # spawn, not fork: the scoring process has a live jax/TPU
+            # client with background threads — forking it can deadlock.
+            # Workers import the chem stack once at startup and never
+            # touch jax.
+            self._pool = mp.get_context("spawn").Pool(self.num_workers)
         return self._pool
 
     # -- device side -------------------------------------------------------

@@ -1,0 +1,101 @@
+"""Sorted-band sparsity for dense EGNN message passing.
+
+The flagship workload's edge compute is dominated by the [H, H] hidden
+matmuls over all N^2 node pairs, but the 5 A pocket-pocket /
+ligand-pocket cutoffs (dynamics.py:169-187) make most pairs dead.  Exact
+banding exploits a 1-D projection bound: sort the pocket along its
+principal axis; for two pocket atoms, |proj_i - proj_j| <= ||x_i - x_j||,
+so any pair further than ``cutoff`` apart along the axis is provably
+outside the cutoff and can be dropped without changing the result.
+
+Layout after sorting: rows/cols = [ligand block | pocket sorted by
+projection].  Per pocket-row tile the live columns are the full ligand
+block plus a contiguous window of sorted-pocket columns — a static-width
+``dynamic_slice``, which is the TPU-friendly access pattern (contrast the
+gather-based K-NN path, measured 2.4x slower).  Ligand rows keep all
+columns (the ligand moves through the pocket during sampling; its 24
+rows are cheap).
+
+``band_halfwidth_atoms(...)`` computes, for a given pocket, the exact
+number of sorted neighbours any atom can see within the cutoff — callers
+validate their configured window against it (the pocket is static for a
+whole sampling run, so this is a one-time host-side check).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def principal_axis_order(pocket_x: jnp.ndarray, pocket_mask: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sample permutation sorting real pocket atoms by their
+    projection onto the pocket's principal axis (padding sorts last).
+
+    pocket_x: [B, NP, 3]; returns (order [B, NP] int32, proj [B, NP]).
+    The principal axis is the leading eigenvector of the masked coordinate
+    covariance — one 3x3 eigendecomposition per sample.
+    """
+    m = pocket_mask[..., None]
+    cnt = jnp.maximum(pocket_mask.sum(1, keepdims=True), 1.0)
+    com = (pocket_x * m).sum(1) / cnt[..., None].reshape(-1, 1)
+    centered = (pocket_x - com[:, None, :]) * m
+    cov = jnp.einsum("bni,bnj->bij", centered, centered) / \
+        cnt[..., None].reshape(-1, 1, 1)
+    _, vecs = jnp.linalg.eigh(cov)  # ascending; last = principal
+    axis = vecs[..., -1]  # [B, 3]
+    proj = jnp.einsum("bni,bi->bn", pocket_x, axis)
+    # padding to +inf so it sorts to the end of the window range
+    proj = jnp.where(pocket_mask > 0.5, proj, jnp.inf)
+    order = jnp.argsort(proj, axis=1).astype(jnp.int32)
+    return order, proj
+
+
+def band_halfwidth_atoms(pocket_x: np.ndarray, pocket_mask: np.ndarray,
+                         cutoff: float) -> int:
+    """Host-side exactness check: the maximum number of sorted-order
+    positions any pocket atom must look backwards/forwards to cover every
+    neighbour within ``cutoff`` along the principal axis.  A configured
+    window half-width >= this value makes banding EXACT for this pocket.
+    """
+    import numpy as onp
+
+    pocket_x = onp.asarray(pocket_x)
+    pocket_mask = onp.asarray(pocket_mask)
+    worst = 0
+    for b in range(pocket_x.shape[0]):
+        xs = pocket_x[b][pocket_mask[b] > 0.5]
+        if len(xs) < 2:
+            continue
+        c = xs - xs.mean(0)
+        _, vecs = onp.linalg.eigh(c.T @ c / len(xs))
+        proj = onp.sort(xs @ vecs[:, -1])
+        # for each i, how many sorted positions until proj distance
+        # exceeds the cutoff
+        j = onp.searchsorted(proj, proj + cutoff, side="right")
+        k = onp.searchsorted(proj, proj - cutoff, side="left")
+        worst = max(worst, int((j - onp.arange(len(proj)) - 1).max()),
+                    int((onp.arange(len(proj)) - k).max()))
+    return worst
+
+
+def window_starts(n_lig: int, n_pocket_pad: int, tile: int,
+                  window: int) -> np.ndarray:
+    """Static per-row-tile start offsets (into the sorted pocket block)
+    of the pocket column window.
+
+    Row tile t covers sorted-pocket rows [t*tile, (t+1)*tile); the window
+    is centred on the tile and clamped to [0, n_pocket_pad - window].
+    """
+    starts = []
+    n_tiles = -(-n_pocket_pad // tile)
+    lo_max = max(n_pocket_pad - window, 0)
+    for t in range(n_tiles):
+        centre = t * tile + tile // 2
+        start = int(np.clip(centre - window // 2, 0, lo_max))
+        starts.append(start)
+    return np.asarray(starts, np.int32)

@@ -85,6 +85,25 @@ class EGNNDynamics(nn.Module):
         x_poc, h_poc = (xh_pocket[..., :self.n_dims],
                         xh_pocket[..., self.n_dims:])
 
+        # sorted-band sparsity: permute the pocket along its principal
+        # axis so banded column windows are exact (models/banding.py);
+        # outputs are un-permuted below.  The permutation is block-local,
+        # so edge types / update_coords_mask are unaffected.
+        band_perm = None
+        if (cfg.band_window is not None and cfg.neighbors is None
+                and cfg.mode == "egnn_dynamics"):
+            from diffndm_tpu.models.banding import principal_axis_order
+
+            band_perm, _ = principal_axis_order(x_poc, pocket_mask)
+            take = lambda arr: jnp.take_along_axis(
+                arr, band_perm[..., None], axis=1)
+            x_poc = take(x_poc)
+            h_poc = take(h_poc)
+            pocket_mask_sorted = jnp.take_along_axis(pocket_mask,
+                                                     band_perm, axis=1)
+        else:
+            pocket_mask_sorted = pocket_mask
+
         atom_enc = _mlp([2 * self.atom_nf, cfg.joint_nf], "atom_encoder")
         atom_dec = _mlp([2 * self.atom_nf, self.atom_nf], "atom_decoder")
         res_enc = _mlp([2 * self.residue_nf, cfg.joint_nf], "residue_encoder")
@@ -93,7 +112,7 @@ class EGNNDynamics(nn.Module):
 
         h = jnp.concatenate([atom_enc(h_lig), res_enc(h_poc)], axis=1)
         x = jnp.concatenate([x_lig, x_poc], axis=1)
-        mask = jnp.concatenate([lig_mask, pocket_mask], axis=1)
+        mask = jnp.concatenate([lig_mask, pocket_mask_sorted], axis=1)
 
         if cfg.condition_time:
             t = jnp.asarray(t)
@@ -104,7 +123,8 @@ class EGNNDynamics(nn.Module):
                     t.reshape(-1, 1, 1), h.shape[:-1] + (1,)).astype(h.dtype)
             h = jnp.concatenate([h, h_time], axis=-1)
 
-        adj = build_adjacency(x_lig, x_poc, lig_mask, pocket_mask, cfg)
+        adj = build_adjacency(x_lig, x_poc, lig_mask, pocket_mask_sorted,
+                              cfg)
 
         # optional 3-type learned edge embedding (dynamics.py:118-127)
         edge_attr = None
@@ -143,7 +163,9 @@ class EGNNDynamics(nn.Module):
                         in_edge_nf=cfg.edge_embedding_dim or 0, name="egnn")
             h_final, x_final = egnn(h, x, adj, mask,
                                     update_coords_mask=update_coords_mask,
-                                    edge_attr=edge_attr, nbr_idx=nbr_idx)
+                                    edge_attr=edge_attr, nbr_idx=nbr_idx,
+                                    n_lig=(nl if band_perm is not None
+                                           else None))
             vel = (x_final - x) * mask[..., None]
         elif cfg.mode == "gnn_dynamics":
             gnn = GNN(cfg, in_node_nf=h.shape[-1] + self.n_dims,
@@ -158,6 +180,16 @@ class EGNNDynamics(nn.Module):
 
         if cfg.condition_time:
             h_final = h_final[..., :-1]
+
+        if band_perm is not None:
+            # un-permute the pocket rows back to the caller's order
+            inv = jnp.argsort(band_perm, axis=1)
+            unperm = lambda arr: jnp.take_along_axis(
+                arr, inv[..., None], axis=1)
+            h_final = jnp.concatenate(
+                [h_final[:, :nl], unperm(h_final[:, nl:])], axis=1)
+            vel = jnp.concatenate(
+                [vel[:, :nl], unperm(vel[:, nl:])], axis=1)
 
         eps_h_lig = atom_dec(h_final[:, :nl])
         eps_h_poc = res_dec(h_final[:, nl:])

@@ -111,6 +111,9 @@ class EdgeContext(NamedTuple):
     tile: int
     n_tiles: int
     n_pad: int
+    # absolute row starts of this context's tiles (scan inputs); covers
+    # rows [row_i0s[0], row_i0s[-1] + tile)
+    row_i0s: Optional[jnp.ndarray] = None
     # dense-provider extras for the fused Pallas path (None when gathered
     # or when edge features are not the two raw distance scalars)
     full_adj: Optional[jnp.ndarray] = None   # [B, N, N]
@@ -118,11 +121,20 @@ class EdgeContext(NamedTuple):
     x_full: Optional[jnp.ndarray] = None     # [B, N, 3]
 
 
-def make_edge_context(cfg: EGNNConfig, x: jnp.ndarray, adj: jnp.ndarray,
-                      edge_attr0: jnp.ndarray,
-                      nbr_idx: Optional[jnp.ndarray]) -> EdgeContext:
-    """Build the column provider. adj is [B, N, N] dense or [B, N, K]
-    gathered; edge_attr0 likewise [B, N, {N|K}, E]."""
+def make_edge_contexts(cfg: EGNNConfig, x: jnp.ndarray, adj: jnp.ndarray,
+                       edge_attr0: jnp.ndarray,
+                       nbr_idx: Optional[jnp.ndarray],
+                       n_lig: Optional[int] = None) -> list:
+    """Build the column provider(s). adj is [B, N, N] dense or [B, N, K]
+    gathered; edge_attr0 likewise [B, N, {N|K}, E].
+
+    Returns a LIST of EdgeContexts covering disjoint row ranges.  Dense
+    and gathered modes return one context over all rows; sorted-band mode
+    (cfg.band_window, requires n_lig and pocket nodes pre-sorted along
+    their principal axis — models/banding.py, done by EGNNDynamics)
+    returns a full-width head context for the ligand/mixed tiles plus a
+    banded context whose pocket-row tiles see only [ligand block +
+    band_window contiguous sorted-pocket columns]."""
     n = x.shape[1]
     tile, n_tiles, n_pad = _tiling(n, cfg.row_tile)
     x_p = _pad_rows(x, n_pad)
@@ -159,15 +171,81 @@ def make_edge_context(cfg: EGNNConfig, x: jnp.ndarray, adj: jnp.ndarray,
         return jnp.concatenate([radial, e0], axis=-1)
 
     full_adj = full_d2i = x_full = None
+    band = (cfg.band_window is not None and nbr_idx is None
+            and n_lig is not None and cfg.aggregation_method == "sum"
+            and not cfg.use_pallas
+            and cfg.band_window < n - n_lig)
     if (nbr_idx is None and cfg.use_pallas and not cfg.sin_embedding
             and edge_attr0.shape[-1] == 1):
         full_adj = adj
         full_d2i = jnp.broadcast_to(
             edge_attr0[..., 0], (x.shape[0], n, n))
         x_full = x
-    return EdgeContext(cols, adj_rows, edge_attr, x_cols, tile, n_tiles,
-                       n_pad, full_adj=full_adj, full_d2i=full_d2i,
-                       x_full=x_full)
+    dense_ctx = EdgeContext(cols, adj_rows, edge_attr, x_cols, tile,
+                            n_tiles, n_pad,
+                            row_i0s=jnp.arange(n_tiles, dtype=jnp.int32)
+                            * tile,
+                            full_adj=full_adj, full_d2i=full_d2i,
+                            x_full=x_full)
+    if not band:
+        return [dense_ctx]
+
+    # ---- sorted-band context (pocket rows only) ----
+    w = cfg.band_window
+    np_total = n - n_lig
+    h0_tiles = -(-n_lig // tile)     # head tiles: full columns (the
+    h0 = h0_tiles * tile             # ligand moves through the pocket)
+    if h0 >= n:
+        return [dense_ctx]
+    head_ctx = dense_ctx._replace(
+        n_tiles=h0_tiles,
+        row_i0s=jnp.arange(h0_tiles, dtype=jnp.int32) * tile)
+
+    def win_start(i0):
+        centre = (i0 - n_lig) + tile // 2
+        return jnp.clip(centre - w // 2, 0, max(np_total - w, 0))
+
+    def band_cols(arr, i0):
+        lig = arr[:, :n_lig]
+        st = win_start(i0)
+        poc = jax.lax.dynamic_slice_in_dim(arr, n_lig, np_total, 1)
+        poc = jax.lax.dynamic_slice_in_dim(poc, st, w, 1)
+        return jnp.concatenate([lig, poc], axis=1)[:, None]
+
+    def band_x_cols(i0):
+        return band_cols(x, i0)
+
+    def band_adj_rows(i0):
+        rows = jax.lax.dynamic_slice_in_dim(adj_p, i0, tile, 1)
+        lig = rows[:, :, :n_lig]
+        st = win_start(i0)
+        poc = jax.lax.dynamic_slice_in_dim(rows[:, :, n_lig:], st, w, 2)
+        return jnp.concatenate([lig, poc], axis=2)
+
+    def band_edge_attr(i0):
+        x_rows = jax.lax.dynamic_slice_in_dim(x_p, i0, tile, 1)
+        radial, _ = coord_diff(x_rows[:, :, None, :], band_x_cols(i0),
+                               cfg.norm_constant)
+        if cfg.sin_embedding:
+            radial = sinusoid_embed(radial[..., 0])
+        rows = jax.lax.dynamic_slice_in_dim(e0_p, i0, tile, 1)
+        lig = rows[:, :, :n_lig]
+        st = win_start(i0)
+        poc = jax.lax.dynamic_slice_in_dim(rows[:, :, n_lig:], st, w, 2)
+        e0 = jnp.concatenate([lig, poc], axis=2)
+        return jnp.concatenate([radial, e0], axis=-1)
+
+    band_tiles = -(-(n - h0) // tile)
+    band_ctx = EdgeContext(
+        band_cols, band_adj_rows, band_edge_attr, band_x_cols, tile,
+        band_tiles, n_pad,
+        row_i0s=h0 + jnp.arange(band_tiles, dtype=jnp.int32) * tile)
+    return [head_ctx, band_ctx]
+
+
+def make_edge_context(cfg, x, adj, edge_attr0, nbr_idx):
+    """Single-context compatibility wrapper (dense/gathered modes)."""
+    return make_edge_contexts(cfg, x, adj, edge_attr0, nbr_idx)[0]
 
 
 def build_neighbor_lists(x: jnp.ndarray, adj: jnp.ndarray,
@@ -201,7 +279,10 @@ class GCL(nn.Module):
         return p
 
     @nn.compact
-    def __call__(self, h, ctx: EdgeContext, node_mask):
+    def __call__(self, h, ctxs, node_mask):
+        if isinstance(ctxs, EdgeContext):
+            ctxs = [ctxs]
+        ctx = ctxs[0]
         cfg = self.cfg
         H = cfg.hidden_nf
         dt = jnp.dtype(cfg.compute_dtype)
@@ -245,28 +326,32 @@ class GCL(nn.Module):
             h = h + _linear(w_n2, out).astype(h.dtype)
             return h * node_mask[..., None].astype(h.dtype)
 
-        tile, n_tiles, n_pad = ctx.tile, ctx.n_tiles, ctx.n_pad
+        tile, n_pad = ctx.tile, ctx.n_pad
         a_p = _pad_rows(a, n_pad)
 
-        def body(_, i0):
-            a_rows = jax.lax.dynamic_slice_in_dim(a_p, i0, tile, 1)
-            e = ctx.edge_attr(i0).astype(dt)
-            b_cols = ctx.cols(b, i0)
-            m = jax.nn.silu(a_rows[:, :, None, :] + b_cols
-                            + _linear(w_edg, e))
-            m = jax.nn.silu(_linear(w_l2, m))
-            if w_att is not None:
-                m = m * jax.nn.sigmoid(_linear(w_att, m))
-            adj_rows = ctx.adj_rows(i0)
-            agg = jnp.sum(m * adj_rows[..., None].astype(dt), axis=2)
-            return None, agg
+        parts = []
+        for c in ctxs:
+            def body(_, i0, c=c):
+                a_rows = jax.lax.dynamic_slice_in_dim(a_p, i0, tile, 1)
+                e = c.edge_attr(i0).astype(dt)
+                b_cols = c.cols(b, i0)
+                m = jax.nn.silu(a_rows[:, :, None, :] + b_cols
+                                + _linear(w_edg, e))
+                m = jax.nn.silu(_linear(w_l2, m))
+                if w_att is not None:
+                    m = m * jax.nn.sigmoid(_linear(w_att, m))
+                adj_rows = c.adj_rows(i0)
+                agg = jnp.sum(m * adj_rows[..., None].astype(dt), axis=2)
+                return None, agg
 
-        _, aggs = jax.lax.scan(body, None,
-                               jnp.arange(n_tiles, dtype=jnp.int32) * tile)
-        agg = jnp.moveaxis(aggs, 0, 1).reshape(h.shape[0], n_pad, H)[:, :n]
+            _, aggs = jax.lax.scan(body, None, c.row_i0s)
+            parts.append(jnp.moveaxis(aggs, 0, 1).reshape(
+                h.shape[0], c.n_tiles * tile, H))
+        agg = jnp.concatenate(parts, axis=1)[:, :n]
         if cfg.aggregation_method == "sum":
             agg = agg / jnp.asarray(cfg.normalization_factor, dt)
-        else:  # mean over actual neighbours
+        else:  # mean over actual neighbours (single dense context only)
+            n_tiles = ctx.n_tiles
             deg = jnp.sum(jnp.concatenate(
                 [ctx.adj_rows(i * tile) for i in range(n_tiles)],
                 axis=1)[:, :n], axis=2, keepdims=True)
@@ -292,8 +377,11 @@ class EquivariantUpdate(nn.Module):
         return p
 
     @nn.compact
-    def __call__(self, h, x, ctx: EdgeContext, node_mask,
+    def __call__(self, h, x, ctxs, node_mask,
                  update_coords_mask):
+        if isinstance(ctxs, EdgeContext):
+            ctxs = [ctxs]
+        ctx = ctxs[0]
         cfg = self.cfg
         # per-sample joint centre of mass of the *current* coordinates for
         # the cross-product term (recomputed each block, egnn_new.py:305-310)
@@ -368,7 +456,7 @@ class EquivariantUpdate(nn.Module):
             x = x + agg.astype(x.dtype)
             return x * node_mask[..., None].astype(x.dtype)
 
-        tile, n_tiles, n_pad = ctx.tile, ctx.n_tiles, ctx.n_pad
+        tile, n_pad = ctx.tile, ctx.n_pad
         a_p = _pad_rows(a, n_pad)
         x_p = _pad_rows(x, n_pad)
         ac_p = _pad_rows(ac, n_pad) if cross_tail is not None else None
@@ -377,44 +465,51 @@ class EquivariantUpdate(nn.Module):
             z = jax.nn.silu(_linear(tail_params[0], z))
             return _linear(tail_params[1], z)
 
-        def body(_, i0):
-            x_rows = jax.lax.dynamic_slice_in_dim(x_p, i0, tile, 1)
-            x_cols = ctx.x_cols(i0).astype(dt)
-            e = ctx.edge_attr(i0).astype(dt)
-            a_rows = jax.lax.dynamic_slice_in_dim(a_p, i0, tile, 1)
-            z = jax.nn.silu(a_rows[:, :, None, :] + ctx.cols(b, i0)
-                            + _linear(w_edg, e))
-            phi = tail(coord_tail, z)
-            _, diff = coord_diff(x_rows[:, :, None, :].astype(dt), x_cols,
-                                 cfg.norm_constant)
-            if cfg.tanh:
-                trans = diff * jnp.tanh(phi) * self.coords_range
-            else:
-                trans = diff * phi
-            if cross_tail is not None:
-                ac_rows = jax.lax.dynamic_slice_in_dim(ac_p, i0, tile, 1)
-                zc = jax.nn.silu(ac_rows[:, :, None, :] + ctx.cols(bc, i0)
-                                 + _linear(w_cedg, e))
-                phi_c = tail(cross_tail, zc)
+        parts = []
+        for c in ctxs:
+            def body(_, i0, c=c):
+                x_rows = jax.lax.dynamic_slice_in_dim(x_p, i0, tile, 1)
+                x_cols = c.x_cols(i0).astype(dt)
+                e = c.edge_attr(i0).astype(dt)
+                a_rows = jax.lax.dynamic_slice_in_dim(a_p, i0, tile, 1)
+                z = jax.nn.silu(a_rows[:, :, None, :] + c.cols(b, i0)
+                                + _linear(w_edg, e))
+                phi = tail(coord_tail, z)
+                _, diff = coord_diff(x_rows[:, :, None, :].astype(dt),
+                                     x_cols, cfg.norm_constant)
                 if cfg.tanh:
-                    phi_c = jnp.tanh(phi_c) * self.coords_range
-                ctr = joint_center[:, :, None, :].astype(dt)
-                va = x_rows[:, :, None, :].astype(dt) - ctr
-                vb = x_cols - ctr
-                cr = jnp.cross(va, vb)
-                norm = jnp.linalg.norm(cr, axis=-1, keepdims=True)
-                cr = cr / (norm + cfg.norm_constant)
-                trans = trans + cr * phi_c
-            adj_rows = ctx.adj_rows(i0)
-            agg = jnp.sum(trans * adj_rows[..., None].astype(dt), axis=2)
-            return None, agg
+                    trans = diff * jnp.tanh(phi) * self.coords_range
+                else:
+                    trans = diff * phi
+                if cross_tail is not None:
+                    ac_rows = jax.lax.dynamic_slice_in_dim(ac_p, i0, tile,
+                                                           1)
+                    zc = jax.nn.silu(ac_rows[:, :, None, :]
+                                     + c.cols(bc, i0)
+                                     + _linear(w_cedg, e))
+                    phi_c = tail(cross_tail, zc)
+                    if cfg.tanh:
+                        phi_c = jnp.tanh(phi_c) * self.coords_range
+                    ctr = joint_center[:, :, None, :].astype(dt)
+                    va = x_rows[:, :, None, :].astype(dt) - ctr
+                    vb = x_cols - ctr
+                    cr = jnp.cross(va, vb)
+                    norm = jnp.linalg.norm(cr, axis=-1, keepdims=True)
+                    cr = cr / (norm + cfg.norm_constant)
+                    trans = trans + cr * phi_c
+                adj_rows = c.adj_rows(i0)
+                agg = jnp.sum(trans * adj_rows[..., None].astype(dt),
+                              axis=2)
+                return None, agg
 
-        _, aggs = jax.lax.scan(body, None,
-                               jnp.arange(n_tiles, dtype=jnp.int32) * tile)
-        agg = jnp.moveaxis(aggs, 0, 1).reshape(x.shape[0], n_pad, 3)[:, :n]
+            _, aggs = jax.lax.scan(body, None, c.row_i0s)
+            parts.append(jnp.moveaxis(aggs, 0, 1).reshape(
+                x.shape[0], c.n_tiles * tile, 3))
+        agg = jnp.concatenate(parts, axis=1)[:, :n]
         if cfg.aggregation_method == "sum":
             agg = agg / jnp.asarray(cfg.normalization_factor, dt)
         else:
+            n_tiles = ctx.n_tiles
             deg = jnp.sum(jnp.concatenate(
                 [ctx.adj_rows(i * tile) for i in range(n_tiles)],
                 axis=1)[:, :n], axis=2, keepdims=True)
@@ -434,14 +529,15 @@ class EquivariantBlock(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, adj, node_mask, edge_attr0, update_coords_mask,
-                 nbr_idx):
-        ctx = make_edge_context(self.cfg, x, adj, edge_attr0, nbr_idx)
+                 nbr_idx, n_lig=None):
+        ctxs = make_edge_contexts(self.cfg, x, adj, edge_attr0, nbr_idx,
+                                  n_lig=n_lig)
         for i in range(self.cfg.inv_sublayers):
             h = GCL(self.cfg, self.edge_nf, name=f"gcl_{i}")(
-                h, ctx, node_mask)
+                h, ctxs, node_mask)
         x = EquivariantUpdate(self.cfg, self.edge_nf, self.coords_range,
                               name="gcl_equiv")(
-            h, x, ctx, node_mask, update_coords_mask)
+            h, x, ctxs, node_mask, update_coords_mask)
         return h, x
 
 
@@ -455,7 +551,7 @@ class EGNN(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, adj, node_mask, update_coords_mask=None,
-                 edge_attr=None, nbr_idx=None):
+                 edge_attr=None, nbr_idx=None, n_lig=None):
         """h: [B, N, in_node_nf]; x: [B, N, 3]; adj: [B, N, N] dense or
         [B, N, K] when nbr_idx [B, N, K] is given; edge_attr: optional
         [B, N, {N|K}, in_edge_nf].
@@ -494,7 +590,7 @@ class EGNN(nn.Module):
             h, x = EquivariantBlock(cfg, edge_nf, coords_range_layer,
                                     name=f"e_block_{i}")(
                 h, x, adj, node_mask, edge_attr0, update_coords_mask,
-                nbr_idx)
+                nbr_idx, n_lig=n_lig)
         h = nn.Dense(self.out_node_nf, name="embedding_out")(h)
         return h * node_mask[..., None].astype(h.dtype), x
 

@@ -1,0 +1,97 @@
+"""Sorted-band sparsity: banded message passing must match the dense
+path exactly when the window satisfies the 1-D projection bound."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffndm_tpu.config import EGNNConfig
+from diffndm_tpu.models.banding import (band_halfwidth_atoms,
+                                        principal_axis_order)
+from diffndm_tpu.models.dynamics import EGNNDynamics
+
+FEAT = 6
+B, NL, NP = 2, 8, 48
+
+
+def _protein_like_pocket(rng, b, n):
+    """Elongated point cloud (distinct principal axis)."""
+    x = rng.normal(size=(b, n, 3)).astype(np.float32)
+    x[..., 0] *= 6.0  # stretch along x
+    x[..., 1:] *= 2.0
+    return x
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(0)
+    xh_lig = rng.normal(size=(B, NL, 3 + FEAT)).astype(np.float32)
+    xh_poc = np.concatenate(
+        [_protein_like_pocket(rng, B, NP),
+         rng.normal(size=(B, NP, FEAT)).astype(np.float32)], -1)
+    t = np.array([0.3, 0.7], np.float32)
+    lm = (np.arange(NL)[None] < np.array([[6], [8]])).astype(np.float32)
+    pm = (np.arange(NP)[None] < np.array([[40], [48]])).astype(np.float32)
+    return tuple(jnp.asarray(a)
+                 for a in (xh_lig, xh_poc, t, lm, pm))
+
+
+def test_principal_axis_order_sorts_real_atoms_first():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(_protein_like_pocket(rng, 1, 16))
+    mask = jnp.asarray((np.arange(16) < 12).astype(np.float32))[None]
+    order, proj = principal_axis_order(x, mask)
+    taken = np.asarray(jnp.take_along_axis(mask, order, axis=1))
+    # real atoms first, padding last
+    assert (taken[0, :12] == 1).all() and (taken[0, 12:] == 0).all()
+    p = np.asarray(jnp.take_along_axis(proj, order, axis=1))[0, :12]
+    assert (np.diff(p) >= 0).all()
+
+
+def test_band_halfwidth_bound():
+    rng = np.random.default_rng(2)
+    x = _protein_like_pocket(rng, 2, 64)
+    m = np.ones((2, 64), np.float32)
+    h = band_halfwidth_atoms(x, m, cutoff=5.0)
+    assert 0 < h < 64
+
+
+@pytest.mark.parametrize("reflection", [True, False])
+def test_banded_matches_dense(inputs, reflection):
+    xh_lig, xh_poc, t, lm, pm = inputs
+    base = EGNNConfig(hidden_nf=16, joint_nf=8, n_layers=2,
+                      inv_sublayers=1, attention=True, tanh=True,
+                      reflection_equivariant=reflection,
+                      edge_cutoff_ligand=None, edge_cutoff_pocket=5.0,
+                      edge_cutoff_interaction=5.0, row_tile=8)
+    # window wide enough for exactness: (W - tile)/2 >= halfwidth
+    hw = band_halfwidth_atoms(np.asarray(xh_poc)[..., :3],
+                              np.asarray(pm), 5.0)
+    W = min(2 * hw + base.row_tile + 2, NP - 1)
+    banded_cfg = dataclasses.replace(base, band_window=W)
+
+    dense = EGNNDynamics(base, atom_nf=FEAT, residue_nf=FEAT)
+    banded = EGNNDynamics(banded_cfg, atom_nf=FEAT, residue_nf=FEAT)
+    params = dense.init(jax.random.PRNGKey(0), xh_lig, xh_poc, t, lm, pm)
+
+    out_d = dense.apply(params, xh_lig, xh_poc, t, lm, pm)
+    out_b = banded.apply(params, xh_lig, xh_poc, t, lm, pm)
+    for d, b_ in zip(out_d, out_b):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(d),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_banded_jit_compiles(inputs):
+    xh_lig, xh_poc, t, lm, pm = inputs
+    cfg = EGNNConfig(hidden_nf=16, joint_nf=8, n_layers=1,
+                     inv_sublayers=1, attention=False,
+                     reflection_equivariant=True, row_tile=8,
+                     band_window=24)
+    mod = EGNNDynamics(cfg, atom_nf=FEAT, residue_nf=FEAT)
+    params = mod.init(jax.random.PRNGKey(0), xh_lig, xh_poc, t, lm, pm)
+    out = jax.jit(lambda *a: mod.apply(params, *a))(
+        xh_lig, xh_poc, t, lm, pm)
+    assert np.isfinite(np.asarray(out[0])).all()
