@@ -132,6 +132,53 @@ class DiffNDM:
         for s in samplers:
             s.params = params
 
+    def enable_banding(self, pocket: NodeBatch, margin: int = 16) -> int:
+        """Turn on sorted-band sparsity (models/banding.py) with a window
+        chosen EXACTLY for this pocket: (window - row_tile)/2 must cover
+        band_halfwidth_atoms(pocket, cutoff), so banding provably drops
+        only pairs outside the edge cutoffs.  Returns the chosen window
+        (0 = banding not worthwhile for this pocket).  The pocket is
+        static for a whole sampling run, so one call before
+        sample_given_pocket covers every step.  Params are reused; the
+        dynamics module and samplers are rebuilt (param trees are
+        identical with banding on or off)."""
+        import dataclasses as dc
+
+        from diffndm_tpu.models.banding import band_halfwidth_atoms
+
+        eg = self.cfg.egnn
+        cutoff = max(eg.edge_cutoff_pocket or 0.0,
+                     eg.edge_cutoff_interaction or 0.0)
+        if cutoff <= 0 or eg.neighbors is not None or eg.use_pallas:
+            return 0
+        hw = band_halfwidth_atoms(np.asarray(pocket.x),
+                                  np.asarray(pocket.mask), cutoff)
+        w = 2 * hw + eg.row_tile + margin
+        w = -(-w // 16) * 16
+        np_total = pocket.x.shape[1]
+        if w >= np_total:
+            return 0
+        self.cfg = dc.replace(self.cfg,
+                              egnn=dc.replace(eg, band_window=w))
+        self._rebuild_samplers()
+        return w
+
+    def _rebuild_samplers(self) -> None:
+        """Re-instantiate the dynamics module + samplers after a config
+        change, keeping the current params (tree layout is config-
+        independent)."""
+        self.module = EGNNDynamics(self.cfg.egnn,
+                                   atom_nf=self.cfg.atom_nf,
+                                   residue_nf=self.cfg.residue_nf)
+        self.sampler = ConditionalSampler(
+            self.core, self.module, self.params, self.sample_cfg,
+            self.dataset_info, oracle=self.oracle)
+        self.inpaint_sampler = InpaintSampler(
+            self.core, self.module, self.params, self.sample_cfg,
+            self.dataset_info, oracle=self.oracle)
+        self.diversify_sampler = DiversifySampler(self.core, self.module,
+                                                  self.params)
+
     def ensure_adjust(self, rl_cfg: Optional[RLConfig] = None
                       ) -> AdjustNetState:
         if self.adjust_state is None:
@@ -181,6 +228,12 @@ class DiffNDM:
         key = key if key is not None else jax.random.PRNGKey(0)
         k_size, k_sample = jax.random.split(key)
         pocket = self.pocket_from_pdb(pdb_file, ref_ligand, n_samples)
+        if os.environ.get("DIFFNDM_AUTO_BAND") == "1" and \
+                self.cfg.egnn.band_window is None:
+            w = self.enable_banding(pocket)
+            if w:
+                print(f"[banding] window={w} pocket atoms="
+                      f"{int(np.asarray(pocket.mask).sum(1).max())}")
         if num_nodes_lig is None:
             num_nodes_lig = self.sample_ligand_sizes(k_size, pocket)
         adjust_params = None

@@ -95,3 +95,41 @@ def test_banded_jit_compiles(inputs):
     out = jax.jit(lambda *a: mod.apply(params, *a))(
         xh_lig, xh_poc, t, lm, pm)
     assert np.isfinite(np.asarray(out[0])).all()
+
+
+def test_enable_banding_end_to_end():
+    """DiffNDM.enable_banding picks an exact window and samples match the
+    dense model to fp-reordering tolerance."""
+    import jax
+
+    from diffndm_tpu.config import (DiffusionConfig, EGNNConfig,
+                                    ModelConfig)
+    from diffndm_tpu.model import DiffNDM
+    from diffndm_tpu.structs import NodeBatch
+
+    rng = np.random.default_rng(5)
+    cfg = ModelConfig(
+        egnn=EGNNConfig(hidden_nf=16, joint_nf=8, n_layers=1,
+                        inv_sublayers=1, attention=False,
+                        reflection_equivariant=True, row_tile=8),
+        diffusion=DiffusionConfig(timesteps=6))
+    model = DiffNDM(cfg)
+    # long pocket so a window is actually narrower than the full width
+    x = rng.normal(size=(2, 128, 3)).astype(np.float32)
+    x[..., 0] *= 12.0
+    x[..., 1:] *= 2.0
+    pocket = NodeBatch(
+        x=jnp.asarray(x),
+        h=jnp.asarray(np.eye(10, dtype=np.float32)[
+            rng.integers(0, 4, (2, 128))]),
+        mask=jnp.ones((2, 128)))
+    sizes = np.array([5, 7])
+    r_dense = model.sampler.sample_given_pocket(jax.random.PRNGKey(4),
+                                                pocket, sizes)
+    w = model.enable_banding(pocket)
+    assert w > 0 and model.cfg.egnn.band_window == w
+    r_band = model.sampler.sample_given_pocket(jax.random.PRNGKey(4),
+                                               pocket, sizes)
+    np.testing.assert_allclose(np.asarray(r_band.ligand.x),
+                               np.asarray(r_dense.ligand.x),
+                               atol=5e-3, rtol=1e-3)
