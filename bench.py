@@ -3,12 +3,30 @@ sampling at the flagship configuration (hidden 256, 6 EGNN layers, T=500,
 20 samples per pocket — the reference's measurement setup, my_test.py:86-88
 / configs/crossdock_fullatom_cond.yml).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Measures BOTH workloads and prints ONE JSON line:
 
-Baseline: the reference publishes no throughput number (BASELINE.md); the
-PyTorch DiffSBDD stack is commonly measured at ~20 ligands in 10-15 min on
-a datacenter GPU at 500 steps.  We use 20/720 s = 0.0278 lig/s as the
-recorded baseline estimate; vs_baseline is measured/our-baseline.
+- headline metric: **guided SPSA+ATP throughput** (the project's
+  north-star, BASELINE.md; reference flags my_test.py:86-88) — composed
+  from the unguided per-step rate plus the measured guided-tail overhead
+  (all guidance events live at s <= 50, so a T=60 guided run captures
+  every event exactly once);
+- ``unguided`` sub-object: plain sampling throughput.
+
+Pocket: the real 3rfm pocket from the reference example when present
+(binding-site geometry, honest banding window), synthetic otherwise.
+Banding: exact per-pocket window via DiffNDM-style auto selection
+(models/banding.py); BENCH_BAND=0 disables, BENCH_BAND=N forces N
+(approximate if narrower than the exact window — reported in the JSON).
+
+Baselines are ESTIMATES (the reference publishes no throughput number;
+BASELINE.md): unguided 20 ligands / 12 min, guided 20 / 18 min on a
+datacenter GPU.
+
+Env knobs: BENCH_T, BENCH_B, BENCH_NP, BENCH_NL, BENCH_DTYPE,
+BENCH_ROW_TILE, BENCH_BAND, BENCH_PALLAS[_ROW|_COL], BENCH_NEIGHBORS,
+BENCH_T_MEASURE, BENCH_FULL=1 (time the full T directly),
+BENCH_GUIDED=0 (skip the guided section), BENCH_SMALL=1 (tiny model for
+CPU smoke tests), DIFFNDM_TRACE_DIR (profiler trace).
 """
 
 import json
@@ -18,90 +36,138 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_LIG_PER_SEC = 20.0 / 720.0
+BASELINE_UNGUIDED = 20.0 / 720.0   # lig/s, estimate (BASELINE.md)
+BASELINE_GUIDED = 20.0 / 1080.0    # lig/s, estimate (SPSA+SVDD adds RDKit
+                                   # + 10x2 EGNN rollouts per guided step)
+REF_EXAMPLE = "/root/reference/example"
 
 
-def main():
+def build_pocket(B, NP, atom_nf):
+    """Real 3rfm pocket (repeated B times) when available, synthetic
+    otherwise. Returns (pocket NodeBatch, name)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    from diffndm_tpu.config import (DiffusionConfig, EGNNConfig,
-                                    SampleConfig)
-    from diffndm_tpu.constants import dataset_params
-    from diffndm_tpu.diffusion import schedules as S
-    from diffndm_tpu.diffusion.core import CondDiffusion
-    from diffndm_tpu.diffusion.sampler import ConditionalSampler
-    from diffndm_tpu.models.dynamics import EGNNDynamics
     from diffndm_tpu.structs import NodeBatch
 
-    atom_nf = 10
-    T = int(os.environ.get("BENCH_T", 500))
-    B = int(os.environ.get("BENCH_B", 20))       # samples per pocket
-    NP = int(os.environ.get("BENCH_NP", 320))    # full-atom pocket nodes
-    NL = int(os.environ.get("BENCH_NL", 24))     # ligand nodes
-    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    pdb = os.path.join(REF_EXAMPLE, "3rfm.pdb")
+    sdf = os.path.join(REF_EXAMPLE, "3rfm_B_CFF.sdf")
+    if os.path.exists(pdb) and os.path.exists(sdf) and \
+            os.environ.get("BENCH_SYNTH") != "1":
+        from diffndm_tpu.data.pdb import parse_pdb
+        from diffndm_tpu.data.pocket import (get_pocket_from_ligand,
+                                             prepare_pocket)
+        from diffndm_tpu.constants import dataset_params
 
-    neighbors = int(os.environ.get("BENCH_NEIGHBORS", 0)) or None
-    cfg = EGNNConfig(hidden_nf=256, joint_nf=128, n_layers=6,
-                     inv_sublayers=1, attention=True, tanh=True,
-                     norm_constant=1.0, reflection_equivariant=False,
-                     edge_cutoff_pocket=5.0, edge_cutoff_interaction=5.0,
-                     row_tile=int(os.environ.get("BENCH_ROW_TILE", 64)),
-                     compute_dtype=dtype, neighbors=neighbors,
-                     use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
-                     pallas_row_tile=int(
-                         os.environ.get("BENCH_PALLAS_ROW", 16)),
-                     pallas_col_tile=int(
-                         os.environ.get("BENCH_PALLAS_COL", 128)),
-                     band_window=int(
-                         os.environ.get("BENCH_BAND", 0)) or None)
-    module = EGNNDynamics(cfg, atom_nf=atom_nf, residue_nf=atom_nf)
-    key = jax.random.PRNGKey(0)
-    # init on CPU: avoids a TPU compile of the init program at startup.
-    # The init forward must not take the Pallas path (CPU supports only
-    # interpret mode); the param tree is identical either way.
-    import dataclasses as _dc
-
-    init_module = EGNNDynamics(_dc.replace(cfg, use_pallas=False),
-                               atom_nf=atom_nf, residue_nf=atom_nf)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = init_module.init(key, jnp.zeros((1, NL, 13)),
-                                  jnp.zeros((1, NP, 13)), jnp.zeros((1,)),
-                                  jnp.ones((1, NL)), jnp.ones((1, NP)))
-    core = CondDiffusion(S.make_schedule("polynomial_2", 500, 5e-4),
-                         DiffusionConfig(timesteps=500), atom_nf, atom_nf)
-    DP = dataset_params["crossdock_full"]
-    sampler = ConditionalSampler(core, module, params, SampleConfig(), DP)
-
+        enc = {k: v for k, v in
+               dataset_params["crossdock_full"]["atom_encoder"].items()
+               if v < atom_nf}
+        residues = get_pocket_from_ligand(parse_pdb(pdb), sdf, 8.0)
+        pocket = prepare_pocket(residues, enc, "full-atom", repeats=B,
+                                pad_multiple=64)
+        return pocket, "3rfm"
     kp = jax.random.PRNGKey(1)
     pocket = NodeBatch(
         x=jax.random.normal(kp, (B, NP, 3)) * 4.0 + 10.0,
         h=jax.nn.one_hot(jax.random.randint(kp, (B, NP), 0, 4), atom_nf),
         mask=jnp.ones((B, NP)))
+    return pocket, "synthetic"
+
+
+def main():
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffndm_tpu.config import (ATPConfig, DiffusionConfig, EGNNConfig,
+                                    SampleConfig, SPSAConfig)
+    from diffndm_tpu.constants import dataset_params
+    from diffndm_tpu.diffusion import schedules as S
+    from diffndm_tpu.diffusion.core import CondDiffusion
+    from diffndm_tpu.diffusion.sampler import ConditionalSampler
+    from diffndm_tpu.models.banding import band_halfwidth_atoms
+    from diffndm_tpu.models.dynamics import EGNNDynamics
+    from diffndm_tpu.utils.profiling import trace
+
+    small = os.environ.get("BENCH_SMALL") == "1"
+    atom_nf = 10
+    T = int(os.environ.get("BENCH_T", 500))
+    B = int(os.environ.get("BENCH_B", 4 if small else 20))
+    NP = int(os.environ.get("BENCH_NP", 320))   # synthetic-pocket nodes
+    NL = int(os.environ.get("BENCH_NL", 24))    # ligand nodes
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    row_tile = int(os.environ.get("BENCH_ROW_TILE", 64))
+
+    pocket, pocket_name = build_pocket(B, NP, atom_nf)
+    np_pad = pocket.x.shape[1]
+
+    # banding: exact window for THIS pocket unless overridden
+    band_env = os.environ.get("BENCH_BAND", "auto")
+    band_exact = True
+    if band_env in ("auto", ""):
+        hw = band_halfwidth_atoms(np.asarray(pocket.x[:1]),
+                                  np.asarray(pocket.mask[:1]), 5.0)
+        band = -(-(2 * hw + row_tile + 8) // 16) * 16
+        if band >= np_pad:
+            band = None
+    else:
+        band = int(band_env) or None
+        if band is not None:
+            hw = band_halfwidth_atoms(np.asarray(pocket.x[:1]),
+                                      np.asarray(pocket.mask[:1]), 5.0)
+            band_exact = band >= 2 * hw + row_tile
+
+    neighbors = int(os.environ.get("BENCH_NEIGHBORS", 0)) or None
+    cfg = EGNNConfig(hidden_nf=32 if small else 256,
+                     joint_nf=16 if small else 128,
+                     n_layers=2 if small else 6,
+                     inv_sublayers=1, attention=True, tanh=True,
+                     norm_constant=1.0, reflection_equivariant=False,
+                     edge_cutoff_pocket=5.0, edge_cutoff_interaction=5.0,
+                     row_tile=row_tile, compute_dtype=dtype,
+                     neighbors=neighbors,
+                     use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
+                     pallas_row_tile=int(
+                         os.environ.get("BENCH_PALLAS_ROW", 16)),
+                     pallas_col_tile=int(
+                         os.environ.get("BENCH_PALLAS_COL", 128)),
+                     band_window=band)
+    module = EGNNDynamics(cfg, atom_nf=atom_nf, residue_nf=atom_nf)
+    key = jax.random.PRNGKey(0)
+    # init on CPU with a non-Pallas/non-band clone: avoids a TPU compile
+    # of the init program (param tree is identical)
+    init_module = EGNNDynamics(
+        dc.replace(cfg, use_pallas=False, band_window=None),
+        atom_nf=atom_nf, residue_nf=atom_nf)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_module.init(key, jnp.zeros((1, NL, 13)),
+                                  jnp.zeros((1, np_pad, 13)),
+                                  jnp.zeros((1,)), jnp.ones((1, NL)),
+                                  jnp.ones((1, np_pad)))
+    core = CondDiffusion(S.make_schedule("polynomial_2", 500, 5e-4),
+                         DiffusionConfig(timesteps=500), atom_nf, atom_nf)
+    DP = dataset_params["crossdock_full"]
+    sampler = ConditionalSampler(core, module, params, SampleConfig(), DP)
     sizes = np.full((B,), NL)
 
-    # The per-step cost is what defines throughput (the scan body is the
-    # same compiled program at any trip count); by default we time a
-    # T_MEASURE-step run and report the T-step rate, which also keeps the
-    # bench robust to the remote tunnel's multi-minute compile/fetch
-    # stalls.  BENCH_FULL=1 times the full T-step run directly.
+    # ---- unguided rate --------------------------------------------------
+    # The per-step cost defines throughput (the scan body is the same
+    # compiled program at any trip count); a T_MEASURE-step run gives the
+    # step rate and stays robust to the remote tunnel's multi-minute
+    # compile/fetch stalls.  BENCH_FULL=1 times the full T-step run.
     full = os.environ.get("BENCH_FULL") == "1"
     t_measure = T if full else min(T, int(os.environ.get(
         "BENCH_T_MEASURE", 100)))
 
-    # warmup / compile
     res = sampler.sample_given_pocket(jax.random.PRNGKey(2), pocket, sizes,
                                       timesteps=t_measure)
-    jax.block_until_ready(res.ligand.x)
-
-    # min-of-3: the remote tunnel injects sporadic stalls; the fastest
-    # repetition reflects the actual device rate
-    from diffndm_tpu.utils.profiling import trace
+    jax.block_until_ready(res.ligand.x)  # warmup/compile
 
     reps = 1 if full else 3
     dt = float("inf")
-    with trace():  # set DIFFNDM_TRACE_DIR to capture a profiler trace
+    with trace():
         for r in range(reps):
             t0 = time.time()
             res = sampler.sample_given_pocket(jax.random.PRNGKey(3 + r),
@@ -109,14 +175,64 @@ def main():
                                               timesteps=t_measure)
             jax.block_until_ready(res.ligand.x)
             dt = min(dt, time.time() - t0)
+    step_time = dt / t_measure
+    unguided = B / (step_time * T)
 
-    lig_per_sec = B / (dt * T / t_measure)
-    print(json.dumps({
+    out = {
         "metric": "ligands_per_sec_per_chip_T500",
-        "value": round(lig_per_sec, 4),
+        "value": round(unguided, 4),
         "unit": "ligands/s",
-        "vs_baseline": round(lig_per_sec / BASELINE_LIG_PER_SEC, 2),
-    }))
+        "vs_baseline": round(unguided / BASELINE_UNGUIDED, 2),
+        "baseline_is_estimate": True,
+        "pocket": pocket_name,
+        "band_window": band or 0,
+        "band_exact": bool(band_exact),
+        "step_ms": round(step_time * 1000, 2),
+    }
+
+    # ---- guided SPSA+ATP (the north-star workload) ----------------------
+    if os.environ.get("BENCH_GUIDED", "1") == "1":
+        try:
+            from diffndm_tpu.diffusion.host_guided import \
+                supports_io_callback
+
+            guided_mode = ("host"
+                           if os.environ.get("DIFFNDM_HOST_GUIDANCE") == "1"
+                           or not supports_io_callback() else "fused")
+            gcfg = SampleConfig(spsa=SPSAConfig(enabled=True),
+                                atp=ATPConfig(enabled=True))
+            gsampler = ConditionalSampler(core, module, params, gcfg, DP)
+            t_guided = max(int(os.environ.get("BENCH_T_GUIDED", 60)),
+                           gcfg.atp.start_step + 10)
+            # warmup compiles all event programs
+            res = gsampler.sample_given_pocket(
+                jax.random.PRNGKey(5), pocket, sizes, timesteps=t_guided)
+            jax.block_until_ready(res.ligand.x)
+            t0 = time.time()
+            res = gsampler.sample_given_pocket(
+                jax.random.PRNGKey(6), pocket, sizes, timesteps=t_guided)
+            jax.block_until_ready(res.ligand.x)
+            dt_guided = time.time() - t0
+            # all events fire at s <= 50 regardless of T, so the guided
+            # overhead of the T=60 run equals that of the full T-step run
+            overhead = max(dt_guided - step_time * t_guided, 0.0)
+            total = step_time * T + overhead
+            guided = B / total
+            out.update({
+                "metric": "ligands_per_sec_per_chip_T500_guided",
+                "value": round(guided, 4),
+                "vs_baseline": round(guided / BASELINE_GUIDED, 2),
+                "guided_overhead_s": round(overhead, 2),
+                "guided_mode": guided_mode,
+                "unguided": {
+                    "metric": "ligands_per_sec_per_chip_T500",
+                    "value": round(unguided, 4),
+                    "vs_baseline": round(unguided / BASELINE_UNGUIDED, 2),
+                },
+            })
+        except Exception as e:  # keep the driver-recorded line intact
+            out["guided_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
