@@ -50,7 +50,12 @@ class ConditionalSampler:
     def __init__(self, core: CondDiffusion, dynamics_module, params,
                  cfg: SampleConfig, dataset_info: dict,
                  oracle: Optional[RewardOracle] = None,
-                 adjust_module=None):
+                 adjust_module=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh for data-parallel SAMPLING —
+        the (pockets x samples) batch axis is sharded over the mesh's
+        'data' axis, params are replicated, and XLA inserts whatever
+        collectives the guidance top-k needs.  The batch size must be
+        divisible by the data axis."""
         self.core = core
         self.module = dynamics_module
         self.params = params
@@ -58,6 +63,7 @@ class ConditionalSampler:
         self.dataset_info = dataset_info
         self.oracle = oracle or RewardOracle(dataset_info)
         self.adjust_module = adjust_module
+        self.mesh = mesh
         # optional host tap called every step with (s, z_lig, xh_pocket,
         # lig_mask) — the mid-trajectory molecule dump hook
         # (conditional_model.py:555-593 my_in_test)
@@ -277,9 +283,18 @@ class ConditionalSampler:
                 timesteps, optimize, collect_rl)
         run = self._run_cache[cache_key]
 
+        params = self.params
+        if self.mesh is not None:
+            # data-parallel sampling: batch sharded, params replicated
+            from diffndm_tpu.parallel.mesh import replicate, shard_batch
+
+            params = replicate(self.mesh, params)
+            pocket = shard_batch(self.mesh, pocket)
+            lig_mask = shard_batch(self.mesh, lig_mask)
+
         (x_lig, h_lig, x_pocket, h_pocket, avg_lp, traj, lig_mask_out,
          pocket_mask_out) = run(
-            self.params, adjust_params, key, pocket.x, pocket.h,
+            params, adjust_params, key, pocket.x, pocket.h,
             pocket.mask, lig_mask)
         return SampleResult(
             ligand=NodeBatch(x=x_lig, h=h_lig, mask=lig_mask_out),
