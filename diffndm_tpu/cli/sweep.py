@@ -41,6 +41,9 @@ def main(argv=None):
     p.add_argument("--frag_fraction", type=float, default=0.25)
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="skip pockets whose output SDF already exists "
+                        "(restart a crashed sweep without redoing work)")
     args = p.parse_args(argv)
 
     import jax
@@ -82,6 +85,10 @@ def main(argv=None):
             sdf = find_sdf(name)
             if sdf is None:
                 continue
+            out_path = os.path.join(args.outdir, f"{name}_inpaint.sdf")
+            if args.resume and os.path.exists(out_path):
+                print(f"{name}: skipped (resume)")
+                continue
             t0 = time.time()
             try:
                 frag = extract_fragment(read_sdf(sdf)[0],
@@ -103,7 +110,7 @@ def main(argv=None):
                     spsa=bool(args.SPSA))
                 mols = model.result_to_molecules(
                     res, sanitize=args.sanitize)
-                write_sdf(os.path.join(args.outdir, f"{name}_inpaint.sdf"),
+                write_sdf(out_path,
                           [m for m in mols if m is not None])
                 dt = time.time() - t0
                 times.append(dt)
@@ -150,6 +157,10 @@ def main(argv=None):
             if not cands:
                 continue
             sdf = os.path.join(args.test_dir, cands[0])
+        if args.resume and os.path.exists(
+                os.path.join(args.outdir, f"{name}_gen.sdf")):
+            print(f"{name}: skipped (resume)")
+            continue
         t0 = time.time()
         valid_mols = []
         for attempt in range(args.max_tries):
