@@ -81,21 +81,3 @@ def band_halfwidth_atoms(pocket_x: np.ndarray, pocket_mask: np.ndarray,
         worst = max(worst, int((j - onp.arange(len(proj)) - 1).max()),
                     int((onp.arange(len(proj)) - k).max()))
     return worst
-
-
-def window_starts(n_lig: int, n_pocket_pad: int, tile: int,
-                  window: int) -> np.ndarray:
-    """Static per-row-tile start offsets (into the sorted pocket block)
-    of the pocket column window.
-
-    Row tile t covers sorted-pocket rows [t*tile, (t+1)*tile); the window
-    is centred on the tile and clamped to [0, n_pocket_pad - window].
-    """
-    starts = []
-    n_tiles = -(-n_pocket_pad // tile)
-    lo_max = max(n_pocket_pad - window, 0)
-    for t in range(n_tiles):
-        centre = t * tile + tile // 2
-        start = int(np.clip(centre - window // 2, 0, lo_max))
-        starts.append(start)
-    return np.asarray(starts, np.int32)

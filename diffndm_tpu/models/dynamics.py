@@ -195,9 +195,13 @@ class EGNNDynamics(nn.Module):
         eps_h_poc = res_dec(h_final[:, nl:])
 
         if cfg.update_pocket_coords:
-            # joint model: project velocity to the zero-COM subspace
-            vel = vel - masked_mean(vel, mask, axis=1, keepdims=True)
-            vel = vel * mask[..., None]
+            # joint model: project velocity to the zero-COM subspace.
+            # vel is in the CALLER's row order here (un-permuted above),
+            # so the mask must be too.
+            mask_out = (jnp.concatenate([lig_mask, pocket_mask], axis=1)
+                        if band_perm is not None else mask)
+            vel = vel - masked_mean(vel, mask_out, axis=1, keepdims=True)
+            vel = vel * mask_out[..., None]
 
         eps_lig = jnp.concatenate([vel[:, :nl], eps_h_lig], axis=-1)
         eps_poc = jnp.concatenate([vel[:, nl:], eps_h_poc], axis=-1)

@@ -133,3 +133,26 @@ def test_enable_banding_end_to_end():
     np.testing.assert_allclose(np.asarray(r_band.ligand.x),
                                np.asarray(r_dense.ligand.x),
                                atol=5e-3, rtol=1e-3)
+
+
+def test_banded_joint_mode_matches_dense(inputs):
+    """update_pocket_coords=True (joint model): the zero-COM projection
+    must use the caller's row order after un-permutation."""
+    xh_lig, xh_poc, t, lm, pm = inputs
+    base = EGNNConfig(hidden_nf=16, joint_nf=8, n_layers=1,
+                      inv_sublayers=1, attention=False,
+                      reflection_equivariant=True, row_tile=8,
+                      update_pocket_coords=True,
+                      edge_cutoff_pocket=5.0, edge_cutoff_interaction=5.0)
+    hw = band_halfwidth_atoms(np.asarray(xh_poc)[..., :3],
+                              np.asarray(pm), 5.0)
+    W = min(2 * hw + base.row_tile + 2, NP - 1)
+    dense = EGNNDynamics(base, atom_nf=FEAT, residue_nf=FEAT)
+    banded = EGNNDynamics(dataclasses.replace(base, band_window=W),
+                          atom_nf=FEAT, residue_nf=FEAT)
+    params = dense.init(jax.random.PRNGKey(1), xh_lig, xh_poc, t, lm, pm)
+    out_d = dense.apply(params, xh_lig, xh_poc, t, lm, pm)
+    out_b = banded.apply(params, xh_lig, xh_poc, t, lm, pm)
+    for d, b_ in zip(out_d, out_b):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(d),
+                                   atol=2e-5, rtol=1e-4)
