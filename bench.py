@@ -98,7 +98,7 @@ def main():
     NP = int(os.environ.get("BENCH_NP", 320))   # synthetic-pocket nodes
     NL = int(os.environ.get("BENCH_NL", 24))    # ligand nodes
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    row_tile = int(os.environ.get("BENCH_ROW_TILE", 64))
+    row_tile = int(os.environ.get("BENCH_ROW_TILE", 8))
 
     pocket, pocket_name = build_pocket(B, NP, atom_nf)
     np_pad = pocket.x.shape[1]

@@ -86,3 +86,42 @@ def test_generate_parser_flags():
          "--SPSA", "1", "--SVDD", "1", "--timesteps", "600",
          "--optimize", "1", "--path_save", "adj.npz"])
     assert args.SPSA == 1 and args.SVDD == 1 and args.timesteps == 600
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/example/3rfm.pdb"),
+                    reason="reference example not mounted")
+def test_optimize_cli_end_to_end(tmp_path):
+    """Evolutionary optimizer: tiny population, two generations, real
+    pocket; final SDF written and score trajectory printed."""
+    import yaml
+
+    from diffndm_tpu.cli.optimize import main
+
+    cfg = {
+        "dataset": "crossdock",
+        "mode": "pocket_conditioning",
+        "pocket_representation": "full-atom",
+        "egnn_params": {"joint_nf": 8, "hidden_nf": 16, "n_layers": 1,
+                        "inv_sublayers": 1, "attention": False,
+                        "reflection_equivariant": True,
+                        "edge_cutoff_ligand": None,
+                        "edge_cutoff_pocket": 5.0,
+                        "edge_cutoff_interaction": 5.0},
+        "diffusion_params": {"diffusion_steps": 8,
+                             "diffusion_noise_schedule": "polynomial_2",
+                             "diffusion_noise_precision": 5.0e-4,
+                             "normalize_factors": [1, 4]},
+    }
+    cfg_path = tmp_path / "tiny.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    out = tmp_path / "opt.sdf"
+    main(["none", "--pdbfile", "/root/reference/example/3rfm.pdb",
+          "--ref_ligand", "/root/reference/example/3rfm_B_CFF.sdf",
+          "--outfile", str(out), "--objective", "qed",
+          "--population_size", "8", "--evolution_steps", "2",
+          "--top_k", "3", "--timesteps", "4", "--config", str(cfg_path)])
+    assert out.exists()
+    from diffndm_tpu.chem.io import read_sdf
+
+    assert len(read_sdf(str(out))) >= 1
