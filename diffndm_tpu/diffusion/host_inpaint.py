@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffndm_tpu.diffusion.host_guided import HostGuidedSampler
+from diffndm_tpu.diffusion.inpaint import repaint_combine
 from diffndm_tpu.ops.segment import masked_mean
 from diffndm_tpu.structs import NodeBatch
 
@@ -99,46 +100,19 @@ class HostGuidedInpainter(HostGuidedSampler):
         """Known-part renoise + COM align + mask combine + inter-iteration
         renoise (build_inpaint_run u_body after the SPSA hook)."""
         core = self.core
-        n_dims = core.n_dims
 
         def fn(params, run_key, z_unknown, xh_p, lm, pm, fixed, l_x, l_h,
                com_p0, s, u):
             b = lm.shape[0]
-            mlc = lm[..., None]
-            mpc = pm[..., None]
             ks = jax.random.split(jax.random.fold_in(
                 jax.random.fold_in(run_key, s), u), 4)
-            k3, k4 = ks[2], ks[3]
             s_norm = s.astype(jnp.float32) / timesteps
             t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
             gamma_s = core.schedule(jnp.broadcast_to(s_norm, (b,)))
             gamma_t = core.schedule(jnp.broadcast_to(t_norm, (b,)))
-
-            com_pocket = masked_mean(xh_p[..., :n_dims], pm, axis=1,
-                                     keepdims=True)
-            xh_ligand = jnp.concatenate(
-                [(l_x + (com_pocket - com_p0)) * mlc, l_h], -1)
-            z_known, xh_p, _ = core.noised_representation(
-                k3, xh_ligand, xh_p, lm, pm, gamma_s)
-
-            dx = _fixed_mean(z_unknown[..., :n_dims], fixed) \
-                - _fixed_mean(z_known[..., :n_dims], fixed)
-            z_known = jnp.concatenate(
-                [(z_known[..., :n_dims] + dx) * mlc, z_known[..., n_dims:]],
-                -1)
-            xh_p = jnp.concatenate(
-                [(xh_p[..., :n_dims] + dx) * mpc, xh_p[..., n_dims:]], -1)
-            z = z_known * fixed + z_unknown * (1.0 - fixed)
-            z = z * mlc
-
-            def renoise(args):
-                z_, xh_ = args
-                return core.sample_p_zt_given_zs(k4, z_, xh_, lm, pm,
-                                                 gamma_t, gamma_s)
-
-            z, xh_p = jax.lax.cond(u < resamplings - 1, renoise,
-                                   lambda a: a, (z, xh_p))
-            return z, xh_p
+            return repaint_combine(core, z_unknown, xh_p, lm, pm, fixed,
+                                   l_x, l_h, com_p0, gamma_s, gamma_t,
+                                   ks[2], ks[3], u, resamplings)
 
         return jax.jit(fn)
 
@@ -147,14 +121,11 @@ class HostGuidedInpainter(HostGuidedSampler):
         range, as one jitted scan — identical to build_inpaint_run's
         s_body minus the hooks."""
         core = self.core
-        n_dims = core.n_dims
 
         def fn(params, run_key, z, xh_p, lm, pm, fixed, l_x, l_h, com_p0,
                steps):
             eps_fn = self._eps_fn(params)
             b = lm.shape[0]
-            mlc = lm[..., None]
-            mpc = pm[..., None]
 
             def s_body(carry, s):
                 z, xh_p = carry
@@ -170,29 +141,9 @@ class HostGuidedInpainter(HostGuidedSampler):
                         jax.random.fold_in(k_s, u), 4)
                     z_unknown, xh_p2, _, _ = core.sample_p_zs_given_zt(
                         k1, s_norm, t_norm, z, xh_p, lm, pm, eps_fn)
-                    com_pocket = masked_mean(xh_p2[..., :n_dims], pm,
-                                             axis=1, keepdims=True)
-                    xh_ligand = jnp.concatenate(
-                        [(l_x + (com_pocket - com_p0)) * mlc, l_h], -1)
-                    z_known, xh_p2, _ = core.noised_representation(
-                        k3, xh_ligand, xh_p2, lm, pm, gamma_s)
-                    dx = _fixed_mean(z_unknown[..., :n_dims], fixed) \
-                        - _fixed_mean(z_known[..., :n_dims], fixed)
-                    z_known = jnp.concatenate(
-                        [(z_known[..., :n_dims] + dx) * mlc,
-                         z_known[..., n_dims:]], -1)
-                    xh_p2 = jnp.concatenate(
-                        [(xh_p2[..., :n_dims] + dx) * mpc,
-                         xh_p2[..., n_dims:]], -1)
-                    z = (z_known * fixed + z_unknown * (1.0 - fixed)) * mlc
-
-                    def renoise(args):
-                        z_, xh_ = args
-                        return core.sample_p_zt_given_zs(
-                            k4, z_, xh_, lm, pm, gamma_t, gamma_s)
-
-                    z, xh_p2 = jax.lax.cond(u < resamplings - 1, renoise,
-                                            lambda a: a, (z, xh_p2))
+                    z, xh_p2 = repaint_combine(
+                        core, z_unknown, xh_p2, lm, pm, fixed, l_x, l_h,
+                        com_p0, gamma_s, gamma_t, k3, k4, u, resamplings)
                     return (z, xh_p2), None
 
                 (z, xh_p), _ = jax.lax.scan(

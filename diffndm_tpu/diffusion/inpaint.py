@@ -36,6 +36,47 @@ from diffndm_tpu.ops.segment import masked_mean, remove_mean_ligand
 from diffndm_tpu.structs import NodeBatch
 
 
+
+def repaint_combine(core, z_unknown, xh_p, lm, pm, fixed, l_x, l_h,
+                    com_p0, gamma_s, gamma_t, k3, k4, u, resamplings):
+    """Shared tail of one RePaint (s, u) iteration: re-noise the known
+    part from the drift-compensated input, align the fixed-atom COMs,
+    combine known/unknown through the fixed mask and re-noise between
+    resampling iterations (conditional_model.py:1589-1618).  Used by the
+    fused scan AND the host-orchestrated loop (host_inpaint.py) so the
+    two paths stay numerically identical by construction."""
+    n_dims = core.n_dims
+    mlc = lm[..., None]
+    mpc = pm[..., None]
+
+    def fixed_mean(x):
+        fsum = jnp.maximum(jnp.sum(fixed, axis=1, keepdims=True), 1e-9)
+        return jnp.sum(x * fixed, axis=1, keepdims=True) / fsum
+
+    com_pocket = masked_mean(xh_p[..., :n_dims], pm, axis=1, keepdims=True)
+    xh_ligand = jnp.concatenate(
+        [(l_x + (com_pocket - com_p0)) * mlc, l_h], -1)
+    z_known, xh_p, _ = core.noised_representation(
+        k3, xh_ligand, xh_p, lm, pm, gamma_s)
+
+    dx = fixed_mean(z_unknown[..., :n_dims]) \
+        - fixed_mean(z_known[..., :n_dims])
+    z_known = jnp.concatenate(
+        [(z_known[..., :n_dims] + dx) * mlc, z_known[..., n_dims:]], -1)
+    xh_p = jnp.concatenate(
+        [(xh_p[..., :n_dims] + dx) * mpc, xh_p[..., n_dims:]], -1)
+
+    z = (z_known * fixed + z_unknown * (1.0 - fixed)) * mlc
+
+    def renoise(args):
+        z_, xh_ = args
+        return core.sample_p_zt_given_zs(k4, z_, xh_, lm, pm, gamma_t,
+                                         gamma_s)
+
+    return jax.lax.cond(u < resamplings - 1, renoise, lambda a: a,
+                        (z, xh_p))
+
+
 def build_inpaint_run(core: CondDiffusion, eps_fn_builder, cfg: SampleConfig,
                       oracle, timesteps: int, resamplings: int,
                       spsa_enabled: bool, atp_enabled: bool,
@@ -93,14 +134,6 @@ def build_inpaint_run(core: CondDiffusion, eps_fn_builder, cfg: SampleConfig,
             (z, xh_p, lm, pm, fixed_c, l_x_c, l_h_c, com_p0_c,
              row_src) = carry
             k_s = jax.random.fold_in(run_key, s)
-            mlc = lm[..., None]
-            mpc = pm[..., None]
-
-            def fixed_mean(x):
-                fsum = jnp.maximum(
-                    jnp.sum(fixed_c, axis=1, keepdims=True), 1e-9)
-                return jnp.sum(x * fixed_c, axis=1, keepdims=True) / fsum
-
             def u_body(ucarry, u):
                 z, xh_p = ucarry
                 k1, k2, k3, k4 = jax.random.split(
@@ -129,35 +162,9 @@ def build_inpaint_run(core: CondDiffusion, eps_fn_builder, cfg: SampleConfig,
                         lambda args: (args[2], args[1]),
                         (z, xh_p, z_unknown))
 
-                # re-noise known part from the (drift-compensated) input
-                com_pocket = masked_mean(xh_p[..., :n_dims], pm,
-                                         axis=1, keepdims=True)
-                xh_ligand = jnp.concatenate(
-                    [(l_x_c + (com_pocket - com_p0_c)) * mlc, l_h_c], -1)
-                z_known, xh_p, _ = core.noised_representation(
-                    k3, xh_ligand, xh_p, lm, pm, gamma_s)
-
-                # align fixed-atom COMs, shift known + pocket (:1600-1608)
-                dx = fixed_mean(z_unknown[..., :n_dims]) \
-                    - fixed_mean(z_known[..., :n_dims])
-                z_known = jnp.concatenate(
-                    [(z_known[..., :n_dims] + dx) * mlc,
-                     z_known[..., n_dims:]], -1)
-                xh_p = jnp.concatenate(
-                    [(xh_p[..., :n_dims] + dx) * mpc, xh_p[..., n_dims:]],
-                    -1)
-
-                z = z_known * fixed_c + z_unknown * (1.0 - fixed_c)
-                z = z * mlc
-
-                # re-noise for the next resampling iteration (:1614-1618)
-                def renoise(args):
-                    z_, xh_ = args
-                    return core.sample_p_zt_given_zs(
-                        k4, z_, xh_, lm, pm, gamma_t, gamma_s)
-
-                z, xh_p = jax.lax.cond(u < resamplings - 1, renoise,
-                                       lambda a: a, (z, xh_p))
+                z, xh_p = repaint_combine(
+                    core, z_unknown, xh_p, lm, pm, fixed_c, l_x_c, l_h_c,
+                    com_p0_c, gamma_s, gamma_t, k3, k4, u, resamplings)
                 return (z, xh_p), None
 
             (z, xh_p), _ = jax.lax.scan(
