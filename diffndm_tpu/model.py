@@ -132,7 +132,8 @@ class DiffNDM:
         for s in samplers:
             s.params = params
 
-    def enable_banding(self, pocket: NodeBatch, margin: int = 16) -> int:
+    def enable_banding(self, pocket: NodeBatch, margin: int = 16,
+                       row_tile: int = 8) -> int:
         """Turn on sorted-band sparsity (models/banding.py) with a window
         chosen EXACTLY for this pocket: (window - row_tile)/2 must cover
         band_halfwidth_atoms(pocket, cutoff), so banding provably drops
@@ -153,13 +154,17 @@ class DiffNDM:
             return 0
         hw = band_halfwidth_atoms(np.asarray(pocket.x),
                                   np.asarray(pocket.mask), cutoff)
-        w = 2 * hw + eg.row_tile + margin
+        # smaller row tiles shrink the exact window (W >= 2*hw + tile);
+        # row_tile 8 measured fastest with banding on v5e
+        tile = min(row_tile or eg.row_tile, eg.row_tile)
+        w = 2 * hw + tile + margin
         w = -(-w // 16) * 16
         np_total = pocket.x.shape[1]
         if w >= np_total:
             return 0
         self.cfg = dc.replace(self.cfg,
-                              egnn=dc.replace(eg, band_window=w))
+                              egnn=dc.replace(eg, band_window=w,
+                                              row_tile=tile))
         self._rebuild_samplers()
         return w
 
