@@ -83,13 +83,28 @@ class Molecule:
     def degree(self, i: int) -> int:
         return len(self.neighbors[i])
 
+    @property
+    def _bond_order_sums(self) -> np.ndarray:
+        # cached per-atom explicit bond-order sums: the descriptors call
+        # bond_order_sum/implicit_h per atom many times per molecule and
+        # a fresh numpy row-sum per call dominated the oracle profile
+        return self._cached("bond_order_sums",
+                            lambda: self.adjacency.sum(axis=1))
+
     def bond_order_sum(self, i: int) -> int:
         """Sum of explicit bond orders at atom i (aromatic handled as the
         kekulized orders stored in self.bonds)."""
-        return int(self.adjacency[i].sum())
+        return int(self._bond_order_sums[i])
 
     # -- implicit hydrogens / valence -------------------------------------
     def implicit_h(self, i: int) -> int:
+        hs = self._cached(
+            "implicit_hs",
+            lambda: [self._implicit_h_uncached(j)
+                     for j in range(self.n_atoms)])
+        return hs[i]
+
+    def _implicit_h_uncached(self, i: int) -> int:
         sym = self.symbols[i]
         dv = _ORGANIC_DEFAULT_VALENCE.get(sym)
         if dv is None:
