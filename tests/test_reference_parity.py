@@ -306,3 +306,94 @@ def test_final_decode_matches_reference():
                                    rpx.numpy(), atol=1e-9, rtol=0)
         np.testing.assert_allclose(_flatten(np.asarray(h_poc), poc_mask),
                                    rph.numpy(), atol=1e-9, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# joint (unconditional) model reverse step
+# ---------------------------------------------------------------------------
+
+def test_joint_sample_step_matches_reference():
+    """EnVariationalDiffusion.sample_p_zs_given_zt (both parts denoised,
+    joint-COM projection, en_diffusion.py:506-561) vs JointDiffusion."""
+    from equivariant_diffusion.en_diffusion import EnVariationalDiffusion
+
+    from diffndm_tpu.diffusion.joint import JointDiffusion
+
+    rng = np.random.default_rng(6)
+    feat = 10
+    with jax.enable_x64(True):
+        torch.manual_seed(7)
+        tdyn = TorchDynamics(
+            atom_nf=feat, residue_nf=feat, n_dims=3, joint_nf=8,
+            hidden_nf=16, device="cpu", act_fn=torch.nn.SiLU(),
+            n_layers=2, attention=True, condition_time=True, tanh=True,
+            mode="egnn_dynamics", norm_constant=1, inv_sublayers=1,
+            sin_embedding=False, normalization_factor=100,
+            aggregation_method="sum", update_pocket_coords=True,
+            edge_cutoff_ligand=None, edge_cutoff_pocket=5.0,
+            edge_cutoff_interaction=5.0,
+            reflection_equivariant=False).double().eval()
+        cfg = EGNNConfig(joint_nf=8, hidden_nf=16, n_layers=2,
+                         inv_sublayers=1, attention=True, tanh=True,
+                         norm_constant=1.0, reflection_equivariant=False,
+                         edge_cutoff_ligand=None, edge_cutoff_pocket=5.0,
+                         edge_cutoff_interaction=5.0,
+                         update_pocket_coords=True, row_tile=8)
+        jdyn = EGNNDynamics(cfg, atom_nf=feat, residue_nf=feat)
+        params = convert_state_dict(_torch_state_to_sd(tdyn),
+                                    ModelConfig(egnn=cfg))
+
+        T = 50
+        hist = np.ones((12, 14))
+        ref = EnVariationalDiffusion(
+            dynamics=tdyn, atom_nf=feat, residue_nf=feat, n_dims=3,
+            size_histogram=hist, timesteps=T,
+            noise_schedule="polynomial_2", noise_precision=5e-4,
+            loss_type="l2", norm_values=(1.0, 4.0),
+            norm_biases=(None, 0.0)).double().eval()
+        # deterministic: the sampled zs equals the posterior mean
+        ref.sample_normal = lambda ml, mp, s, lm, pm, f=False: (ml, mp)
+
+        alphas2 = S.polynomial_alphas2(T, s=5e-4, power=2.0)
+        gamma = (-(np.log(alphas2)
+                   - np.log(1.0 - alphas2))).astype(np.float32)
+        sched = S.GammaSchedule(table=jnp.asarray(gamma, jnp.float64),
+                                timesteps=T)
+        core = JointDiffusion(sched, DiffusionConfig(timesteps=T), feat,
+                              feat)
+
+        def eps_fn(zl, zp, t, lm, pm):
+            return jdyn.apply(params, zl, zp, t, lm, pm)
+
+        # joint zero-COM state (both parts noised in the joint model)
+        z_lig, z_poc, lig_mask, poc_mask = _zero_com_state(rng, feat)
+        # re-centre on the JOINT mean (the conditional helper centres on
+        # the ligand only)
+        lm3 = lig_mask[..., None]
+        pm3 = poc_mask[..., None]
+        tot = lig_mask.sum(1) + poc_mask.sum(1)
+        com = ((z_lig[..., :3] * lm3).sum(1)
+               + (z_poc[..., :3] * pm3).sum(1)) / tot[:, None]
+        z_lig[..., :3] = (z_lig[..., :3] - com[:, None]) * lm3
+        z_poc[..., :3] = (z_poc[..., :3] - com[:, None]) * pm3
+
+        s_int = 17
+        s_norm, t_norm = s_int / T, (s_int + 1) / T
+        lidx = torch.tensor(_batch_idx(N_LIG), dtype=torch.long)
+        pidx = torch.tensor(_batch_idx(N_POC), dtype=torch.long)
+        with torch.no_grad():
+            ref_l, ref_p = ref.sample_p_zs_given_zt(
+                torch.full((B, 1), s_norm, dtype=torch.float64),
+                torch.full((B, 1), t_norm, dtype=torch.float64),
+                torch.tensor(_flatten(z_lig, lig_mask)),
+                torch.tensor(_flatten(z_poc, poc_mask)), lidx, pidx)
+
+        z_l, z_p = core.sample_p_zs_given_zt(
+            jax.random.PRNGKey(0), jnp.asarray(s_norm),
+            jnp.asarray(t_norm), jnp.asarray(z_lig), jnp.asarray(z_poc),
+            jnp.asarray(lig_mask), jnp.asarray(poc_mask), eps_fn,
+            fix_noise=True)
+        np.testing.assert_allclose(_flatten(np.asarray(z_l), lig_mask),
+                                   ref_l.numpy(), atol=1e-9, rtol=0)
+        np.testing.assert_allclose(_flatten(np.asarray(z_p), poc_mask),
+                                   ref_p.numpy(), atol=1e-9, rtol=0)
