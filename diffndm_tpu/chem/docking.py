@@ -28,7 +28,8 @@ def _require(binary: str) -> str:
     if path is None:
         raise DockingUnavailable(
             f"{binary} binary not found on PATH; docking metrics are "
-            f"disabled in this environment")
+            f"disabled in this environment (chem/scoring.py provides a "
+            f"native Vina-style rescoring fallback)")
     return path
 
 

@@ -33,6 +33,11 @@ def main(argv=None):
                    help="directory of SDF files (or a single file)")
     p.add_argument("--expected_per_file", type=int, default=20)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--receptor", type=str, default=None,
+                   help="receptor PDB: append a native Vina-style "
+                        "affinity estimate per file "
+                        "(chem/scoring.py; smina parity when binaries "
+                        "exist, chem/docking.py)")
     p.add_argument("--per_step", action="store_true",
                    help="group files by the trailing step number in their "
                         "names (e.g. try_100.sdf from the frame tap) and "
@@ -79,18 +84,31 @@ def main(argv=None):
                 f.write(report + "\n")
         return
 
+    scorer = None
+    if args.receptor:
+        from diffndm_tpu.chem.scoring import VinaScorer
+
+        scorer = VinaScorer.from_pdb(args.receptor)
+
     all_rows, lines = [], []
     for path in paths:
         rows = check_sdf_file(path, props)
         valid = [r for r in rows if r[4]]
         ratio = len(valid) / max(args.expected_per_file, 1)
+        affinity = ""
+        if scorer is not None:
+            from diffndm_tpu.chem.io import read_sdf
+
+            vs = [scorer.score(m) for m in read_sdf(path)]
+            if vs:
+                affinity = f" Vina~={float(np.mean(vs)):.2f}"
         if valid:
             arr = np.array(valid, dtype=float)
             lines.append(
                 f"{os.path.basename(path)}: n={len(rows)} "
                 f"valid_ratio={ratio:.2f} QED={arr[:, 0].mean():.3f} "
                 f"SA={arr[:, 1].mean():.3f} LogP={arr[:, 2].mean():.3f} "
-                f"Lipinski={arr[:, 3].mean():.3f}")
+                f"Lipinski={arr[:, 3].mean():.3f}" + affinity)
         else:
             lines.append(f"{os.path.basename(path)}: n={len(rows)} "
                          f"valid_ratio=0.00")
