@@ -161,12 +161,45 @@ class DiffNDM:
         w = -(-w // 16) * 16
         np_total = pocket.x.shape[1]
         if w >= np_total:
+            if eg.band_window is not None:
+                # a previously-chosen (now too narrow) window must not
+                # survive — fall back to dense for this pocket
+                self.cfg = dc.replace(
+                    self.cfg, egnn=dc.replace(eg, band_window=None))
+                self._rebuild_samplers()
             return 0
         self.cfg = dc.replace(self.cfg,
                               egnn=dc.replace(eg, band_window=w,
                                               row_tile=tile))
         self._rebuild_samplers()
         return w
+
+    def ensure_band_for(self, pocket: NodeBatch) -> int:
+        """Exactness guard for banding across pockets: keep the current
+        window when it already covers this pocket's halfwidth bound,
+        widen (rebuild) when it does not, pick one when banding is off.
+        Returns the active window (0 = dense)."""
+        import dataclasses as dc
+
+        from diffndm_tpu.models.banding import band_halfwidth_atoms
+
+        eg = self.cfg.egnn
+        current = eg.band_window
+        if current is None:
+            return self.enable_banding(pocket)
+        cutoff = max(eg.edge_cutoff_pocket or 0.0,
+                     eg.edge_cutoff_interaction or 0.0)
+        hw = band_halfwidth_atoms(np.asarray(pocket.x),
+                                  np.asarray(pocket.mask), cutoff)
+        needed = 2 * hw + eg.row_tile
+        if current >= needed:
+            return current
+        if needed >= pocket.x.shape[1]:  # banding not worthwhile here
+            self.cfg = dc.replace(self.cfg,
+                                  egnn=dc.replace(eg, band_window=None))
+            self._rebuild_samplers()
+            return 0
+        return self.enable_banding(pocket, row_tile=eg.row_tile)
 
     def _rebuild_samplers(self) -> None:
         """Re-instantiate the dynamics module + samplers after a config
@@ -235,10 +268,10 @@ class DiffNDM:
         pocket = self.pocket_from_pdb(pdb_file, ref_ligand, n_samples)
         # exact sorted-band sparsity by default (provably lossless window;
         # 115 -> 66 ms/step on the real 3rfm pocket); DIFFNDM_AUTO_BAND=0
-        # opts out
-        if os.environ.get("DIFFNDM_AUTO_BAND", "1") != "0" and \
-                self.cfg.egnn.band_window is None:
-            w = self.enable_banding(pocket)
+        # opts out.  Revalidated per pocket: a sweep's later pocket may
+        # need a wider window than the first one did.
+        if os.environ.get("DIFFNDM_AUTO_BAND", "1") != "0":
+            w = self.ensure_band_for(pocket)
             if w:
                 print(f"[banding] window={w} pocket atoms="
                       f"{int(np.asarray(pocket.mask).sum(1).max())}")

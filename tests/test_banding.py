@@ -156,3 +156,50 @@ def test_banded_joint_mode_matches_dense(inputs):
     for d, b_ in zip(out_d, out_b):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(d),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_ensure_band_revalidates_per_pocket():
+    """A sweep's later pocket with a wider halfwidth must widen (or drop)
+    the band — the first pocket's window must never silently truncate a
+    harder pocket's neighbourhoods."""
+    import jax
+
+    from diffndm_tpu.config import (DiffusionConfig, EGNNConfig,
+                                    ModelConfig)
+    from diffndm_tpu.model import DiffNDM
+    from diffndm_tpu.structs import NodeBatch
+
+    rng = np.random.default_rng(7)
+    cfg = ModelConfig(
+        egnn=EGNNConfig(hidden_nf=16, joint_nf=8, n_layers=1,
+                        inv_sublayers=1, attention=False,
+                        reflection_equivariant=True, row_tile=8),
+        diffusion=DiffusionConfig(timesteps=4))
+
+    def pocket_with_stretch(stretch, n=128):
+        x = rng.normal(size=(2, n, 3)).astype(np.float32)
+        x[..., 0] *= stretch
+        x[..., 1:] *= 2.0
+        return NodeBatch(
+            x=jnp.asarray(x),
+            h=jnp.asarray(np.eye(10, dtype=np.float32)[
+                rng.integers(0, 4, (2, n))]),
+            mask=jnp.ones((2, n)))
+
+    model = DiffNDM(cfg)
+    easy = pocket_with_stretch(14.0)   # elongated -> narrow exact window
+    hard = pocket_with_stretch(5.0)    # blob -> wider window needed
+    w_easy = model.ensure_band_for(easy)
+    assert w_easy > 0
+    w_hard = model.ensure_band_for(hard)
+    # either widened or dropped to dense — never kept too narrow
+    if w_hard > 0:
+        from diffndm_tpu.models.banding import band_halfwidth_atoms
+
+        hw = band_halfwidth_atoms(np.asarray(hard.x),
+                                  np.asarray(hard.mask), 5.0)
+        assert w_hard >= 2 * hw + model.cfg.egnn.row_tile
+    else:
+        assert model.cfg.egnn.band_window is None
+    # the easy pocket still validates under the new state
+    assert model.ensure_band_for(easy) >= 0
