@@ -189,6 +189,10 @@ def main():
         "band_exact": bool(band_exact),
         "step_ms": round(step_time * 1000, 2),
     }
+    # emit the unguided result immediately: if the guided section is cut
+    # short (driver timeout, cold compile through the tunnel), the run
+    # still reports a parseable line; the guided line below supersedes it
+    print(json.dumps(out), flush=True)
 
     # ---- guided SPSA+ATP (the north-star workload) ----------------------
     if os.environ.get("BENCH_GUIDED", "1") == "1":
