@@ -39,6 +39,10 @@ def build_parser():
                    help="AdjustNet checkpoint to save after RL update")
     p.add_argument("--SVDD", type=int, default=0)
     p.add_argument("--SPSA", type=int, default=0)
+    p.add_argument("--w_vina", type=float, default=0.0,
+                   help="optional affinity term in the guidance rewards: "
+                        "reward += w_vina * (-Vina-style score) against "
+                        "--pdbfile (beyond the reference's rewards)")
     p.add_argument("--rl_loops", type=int, default=1,
                    help="repeat generation+REINFORCE this many times "
                         "(the reference's my_temp.py RL-training driver)")
@@ -59,10 +63,12 @@ def load_model(args):
     # restrict the population top-k to each pocket's n_samples rows.
     group_size = (args.n_samples
                   if getattr(args, "batch_pockets", 1) > 1 else None)
+    w_vina = getattr(args, "w_vina", 0.0)
     sample_cfg = SampleConfig(
         n_samples=args.n_samples,
-        spsa=SPSAConfig(enabled=bool(args.SPSA)),
-        atp=ATPConfig(enabled=bool(args.SVDD), group_size=group_size),
+        spsa=SPSAConfig(enabled=bool(args.SPSA), w_vina=w_vina),
+        atp=ATPConfig(enabled=bool(args.SVDD), group_size=group_size,
+                      w_vina=w_vina),
         rl=RLConfig(enabled=bool(args.optimize),
                     train=bool(args.path_save)))
     if args.config:
@@ -81,6 +87,8 @@ def load_model(args):
         adj = model.ensure_adjust()
         if args.path:
             adj.load(args.path)
+    if w_vina > 0 and getattr(args, "pdbfile", None):
+        model.oracle.set_receptor(args.pdbfile)
     return model
 
 

@@ -128,7 +128,10 @@ def main(argv=None):
                                    train_smiles=train_smiles,
                                    n_visualize=int(
                                        raw.get("eval_params", {}).get(
-                                           "n_visualize_samples", 0)))
+                                           "n_visualize_samples", 0)),
+                                   receptor_pdb=raw.get(
+                                       "eval_params", {}).get(
+                                           "receptor_pdb"))
 
     def current_dynamics_params():
         params = jax.device_get(trainer.state.params)

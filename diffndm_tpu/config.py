@@ -90,6 +90,10 @@ class SPSAConfig:
     w_qed: float = 2.0
     w_sa: float = 3.0
     w_lipinski: float = 0.2
+    # OPTIONAL affinity term (beyond the reference): reward +=
+    # w_vina * (-VinaScorer.score) when the oracle has a receptor
+    # (RewardOracle.set_receptor); 0 = reference behaviour
+    w_vina: float = 0.0
     # one-off hybrid branch-ensemble + prune at s == start_step
     # (conditional_model.py:1261-1418)
     hybrid_prune: bool = True
@@ -126,6 +130,7 @@ class ATPConfig:
     w_qed: float = 2.0
     w_sa: float = 2.0
     w_lipinski: float = 0.2
+    w_vina: float = 0.0  # optional affinity term, see SPSAConfig.w_vina
     logp_k: float = 20.0
     logp_lo: float = -1.0
     logp_hi: float = 5.0

@@ -52,6 +52,8 @@ class RewardOracle:
             num_workers = int(os.environ.get("DIFFNDM_ORACLE_WORKERS", 0))
         self.num_workers = num_workers
         self._pool = None
+        # optional receptor for the affinity reward term (w_vina)
+        self.scorer = None
         # invalid-molecule accounting: invalid latents are EXPECTED during
         # guidance (reward 0, metrics.evaluate_new:318-339) but any other
         # exception is a bug and must surface, not silently become 0.0
@@ -62,9 +64,20 @@ class RewardOracle:
     def invalid_rate(self) -> float:
         return self.n_invalid / max(self.n_scored, 1)
 
+    def set_receptor(self, pdb_path_or_scorer) -> None:
+        """Attach a receptor so rewards can include w_vina * (-affinity)
+        (native Vina-style rescoring, chem/scoring.py) — an optional
+        capability beyond the reference's QED/SA/LogP/Lipinski rewards."""
+        from diffndm_tpu.chem.scoring import VinaScorer
+
+        if isinstance(pdb_path_or_scorer, str):
+            self.scorer = VinaScorer.from_pdb(pdb_path_or_scorer)
+        else:
+            self.scorer = pdb_path_or_scorer
+
     # -- host side ---------------------------------------------------------
     def _score_one(self, coords, types, w_qed, w_sa, w_lip, logp_k,
-                   logp_lo, logp_hi) -> float:
+                   logp_lo, logp_hi, w_vina=0.0) -> float:
         self.n_scored += 1
         try:
             mol = build_molecule(coords, types, self.dataset_info)
@@ -79,13 +92,16 @@ class RewardOracle:
             lp = self.props.calculate_logp(mol)
             r += (_sigmoid(logp_k * (lp - logp_lo))
                   * _sigmoid(-logp_k * (lp - logp_hi)))
+        if w_vina > 0 and self.scorer is not None:
+            r += w_vina * (-self.scorer.score(mol))
         return float(r)
 
     def score_batch_host(self, coords: np.ndarray, h: np.ndarray,
                          mask: np.ndarray, weights: tuple) -> np.ndarray:
         """coords [B,N,3], h [B,N,F] (one-hot or logits), mask [B,N]
         -> rewards [B] float32."""
-        w_qed, w_sa, w_lip, logp_k, logp_lo, logp_hi = weights
+        w_qed, w_sa, w_lip, logp_k, logp_lo, logp_hi = weights[:6]
+        w_vina = weights[6] if len(weights) > 6 else 0.0
         coords = np.asarray(coords)
         types = np.asarray(h).argmax(-1)
         mask = np.asarray(mask) > 0.5
@@ -100,7 +116,8 @@ class RewardOracle:
         else:
             for b, (c, t) in enumerate(items):
                 out[b] = self._score_one(c, t, w_qed, w_sa, w_lip,
-                                         logp_k, logp_lo, logp_hi)
+                                         logp_k, logp_lo, logp_hi,
+                                         w_vina)
         return out
 
     def _get_pool(self):
@@ -118,9 +135,11 @@ class RewardOracle:
     def callback(self, coords: jnp.ndarray, h: jnp.ndarray,
                  mask: jnp.ndarray, w_qed: float, w_sa: float,
                  w_lipinski: float, logp_k: float = 0.0,
-                 logp_lo: float = 0.0, logp_hi: float = 0.0) -> jnp.ndarray:
+                 logp_lo: float = 0.0, logp_hi: float = 0.0,
+                 w_vina: float = 0.0) -> jnp.ndarray:
         """Jit-safe reward evaluation: [B] float32."""
-        weights = (w_qed, w_sa, w_lipinski, logp_k, logp_lo, logp_hi)
+        weights = (w_qed, w_sa, w_lipinski, logp_k, logp_lo, logp_hi,
+                   w_vina)
         host = partial(self.score_batch_host, weights=weights)
         b = coords.shape[0]
         return io_callback(
@@ -130,12 +149,14 @@ class RewardOracle:
     # convenience profiles
     def spsa_rewards(self, coords, h, mask, cfg) -> jnp.ndarray:
         return self.callback(coords, h, mask, cfg.w_qed, cfg.w_sa,
-                             cfg.w_lipinski)
+                             cfg.w_lipinski,
+                             w_vina=getattr(cfg, "w_vina", 0.0))
 
     def svdd_rewards(self, coords, h, mask, cfg) -> jnp.ndarray:
         return self.callback(coords, h, mask, cfg.w_qed, cfg.w_sa,
                              cfg.w_lipinski, cfg.logp_k, cfg.logp_lo,
-                             cfg.logp_hi)
+                             cfg.logp_hi,
+                             w_vina=getattr(cfg, "w_vina", 0.0))
 
     def rl_reward_host(self, coords, h, mask, cfg) -> float:
         """Scalar mean reward for the REINFORCE update (host-side)."""
@@ -146,9 +167,11 @@ class RewardOracle:
 
 
 def _score_star(dataset_info, weights, item):
-    """Top-level worker entry (picklable) for the process pool."""
+    """Top-level worker entry (picklable) for the process pool.  The
+    affinity term is host-process-only (the scorer is not shipped to
+    workers); callers needing w_vina>0 run with num_workers=0."""
     oracle = RewardOracle(dataset_info)
     c, t = item
-    w_qed, w_sa, w_lip, logp_k, logp_lo, logp_hi = weights
+    w_qed, w_sa, w_lip, logp_k, logp_lo, logp_hi = weights[:6]
     return oracle._score_one(c, t, w_qed, w_sa, w_lip, logp_k, logp_lo,
                              logp_hi)

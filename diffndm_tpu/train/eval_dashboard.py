@@ -30,7 +30,11 @@ from diffndm_tpu.structs import NodeBatch
 class ChemistryDashboard:
     def __init__(self, dataset_info: dict, outdir: str,
                  train_smiles: Optional[Sequence[str]] = None,
-                 n_visualize: int = 0):
+                 n_visualize: int = 0,
+                 receptor_pdb: Optional[str] = None):
+        """receptor_pdb: when given, eval samples are also scored with the
+        native Vina-style affinity (the reference logs smina at eval when
+        receptors are available, lightning_modules.py:530-532)."""
         self.dataset_info = dataset_info
         self.outdir = outdir
         self.n_visualize = n_visualize
@@ -41,6 +45,11 @@ class ChemistryDashboard:
         if hist:
             self.type_dist = CategoricalDistribution(
                 hist, dataset_info["atom_encoder"])
+        self.scorer = None
+        if receptor_pdb:
+            from diffndm_tpu.chem.scoring import VinaScorer
+
+            self.scorer = VinaScorer.from_pdb(receptor_pdb)
 
     def analyze(self, ligand: NodeBatch, epoch: int = 0,
                 dump_sdf: bool = False) -> dict:
@@ -67,6 +76,10 @@ class ChemistryDashboard:
             connected if connected else valid)
         out.update(QED=qed, SA=sa, LogP=logp, Lipinski=lipinski,
                    Diversity=diversity)
+
+        if self.scorer is not None and valid:
+            out["VinaAffinity"] = float(np.mean(
+                [self.scorer.score(m) for m in valid]))
 
         if dump_sdf and valid:
             from diffndm_tpu.chem.io import write_sdf

@@ -82,3 +82,31 @@ def test_real_pocket_scores_reference_ligand():
 
     scores = vina_score_like([lig, None], "/root/reference/example/3rfm.pdb")
     assert scores[0] == native and np.isnan(scores[1])
+
+
+def test_oracle_affinity_reward_term():
+    """With a receptor attached and w_vina set, a clashing pose earns a
+    lower reward than a well-placed identical molecule."""
+    from diffndm_tpu.constants import dataset_params
+    from diffndm_tpu.guidance.oracle import RewardOracle
+
+    rec_coords = np.array([[0.0, 0, 0], [1.5, 0, 0], [3.0, 0, 0]])
+    oracle = RewardOracle(dataset_params["crossdock_full"])
+    oracle.set_receptor(VinaScorer(rec_coords, ["C", "C", "C"]))
+
+    # same propane twice: once clashing into the receptor, once 4 A away
+    def coords_at(z):
+        return np.array([[0.0, 0.5, z], [1.5, 0.5, z], [2.3, 1.7, z]],
+                        np.float32)
+
+    coords = np.stack([coords_at(0.3), coords_at(4.0)])
+    h = np.zeros((2, 3, 10), np.float32)
+    h[..., 1] = 1.0  # carbon
+    mask = np.ones((2, 3), np.float32)
+    weights = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)  # pure affinity reward
+    r = oracle.score_batch_host(coords, h, mask, weights)
+    assert r[1] > r[0], r  # contact pose beats clash
+    # w_vina = 0 -> affinity ignored entirely (reference behaviour)
+    r0 = oracle.score_batch_host(coords, h, mask,
+                                 (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    np.testing.assert_allclose(r0, 0.0)
