@@ -125,3 +125,21 @@ def test_optimize_cli_end_to_end(tmp_path):
     from diffndm_tpu.chem.io import read_sdf
 
     assert len(read_sdf(str(out))) >= 1
+
+
+def test_plot_curves_from_metrics_jsonl(tmp_path):
+    import json
+
+    from diffndm_tpu.cli.plot import main
+
+    path = tmp_path / "metrics.jsonl"
+    with open(path, "w") as f:
+        for step in (1, 2, 3):
+            f.write(json.dumps({"step": step, "split": "train",
+                                "loss": 1.0 / step}) + "\n")
+        f.write(json.dumps({"step": 3, "split": "val", "loss": 0.5,
+                            "QED": 0.4}) + "\n")
+    out = tmp_path / "curves"
+    main([str(path), "--outdir", str(out), "--curves"])
+    files = sorted(os.listdir(out))
+    assert "curve_loss.png" in files and "curve_QED.png" in files
