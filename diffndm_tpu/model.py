@@ -313,6 +313,11 @@ class DiffNDM:
                                                 n_samples))
             names.append(os.path.basename(pdb_file))
         pocket = concat_batches(pockets)
+        if os.environ.get("DIFFNDM_AUTO_BAND", "1") != "0":
+            # per-sample principal-axis sorting makes banding valid for
+            # heterogeneous pocket batches; the window covers the widest
+            # pocket's halfwidth (band_halfwidth_atoms maxes over rows)
+            self.ensure_band_for(pocket)
         k_size, k_sample = jax.random.split(key)
         sizes = self.sample_ligand_sizes(k_size, pocket)
         result = self.sampler.sample_given_pocket(
