@@ -168,11 +168,30 @@ def parse_smiles(s: str) -> Molecule:
         raise SmilesError(f"unbalanced '(' in {s!r}")
 
     _kekulize(symbols, aromatic, charges, hcounts, bonds, s)
+    _normalize_hypervalent_nitro(symbols, charges, bonds)
     mol = Molecule(symbols=symbols,
                    bonds=[(i_, j_, o) for i_, j_, o in bonds],
                    coords=None,
                    charges=charges if any(charges) else None)
     return mol
+
+
+def _normalize_hypervalent_nitro(symbols, charges, bonds) -> None:
+    """Legacy nitro SMILES write pentavalent N(=O)=O; normalize to the
+    charge-separated [N+](=O)[O-] form (what RDKit does on sanitize)."""
+    for a, sym in enumerate(symbols):
+        if sym != "N" or charges[a]:
+            continue
+        dbl_o = [k for k, (i, j, o) in enumerate(bonds)
+                 if o == 2 and ((i == a and symbols[j] == "O")
+                                or (j == a and symbols[i] == "O"))]
+        order_sum = sum(o for i, j, o in bonds if a in (i, j))
+        if len(dbl_o) >= 2 and order_sum > 4:
+            k = dbl_o[0]
+            bonds[k][2] = 1
+            o_idx = bonds[k][1] if bonds[k][0] == a else bonds[k][0]
+            charges[a] = 1
+            charges[o_idx] = -1
 
 
 def _kekulize(symbols, aromatic, charges, hcounts, bonds, src) -> None:

@@ -241,3 +241,60 @@ def test_substructure_from_pdb_atom_names(tmp_path):
     with pytest.raises(ValueError):
         substructure_coords_types(FakeModel, ["XX"], pdbfile=str(pdb),
                                   ref_ligand="B:330")
+
+
+def test_smiles_fuzz_roundtrip_stability():
+    """Parsed molecules must be internally consistent (valences, rings)
+    and their canonical keys stable across re-parsing for a spread of
+    drug-like SMILES."""
+    drugs = [
+        "CC(C)NCC(O)c1ccc(O)c(O)c1",                     # isoproterenol
+        "CN1CCC[C@H]1c1cccnc1",                          # nicotine
+        "COc1ccc2cc(ccc2c1)C(C)C(=O)O",                  # naproxen
+        "Clc1ccccc1C2=NCC(=O)Nc3ccc(cc23)N(=O)=O",       # clonazepam-ish
+        "CC(=O)Nc1nnc(s1)S(=O)(=O)N",                    # acetazolamide
+        "OC(=O)c1cc(O)c(O)c(O)c1",                       # gallic acid
+        "c1ccc2c(c1)oc1ccccc12",                         # dibenzofuran
+        "CN(C)CCOC(c1ccccc1)c1ccccc1",                   # diphenhydramine
+        "O=C(O)CCCCCCCCC=C",                             # undecylenic acid
+        "C1CC2(C1)CC2",                                  # spiro
+    ]
+    for smi in drugs:
+        m1 = parse_smiles(smi)
+        m2 = parse_smiles(smi)
+        assert all(m1.valence_ok(i) for i in range(m1.n_atoms)), smi
+        assert m1.canonical_smiles_like() == m2.canonical_smiles_like()
+        # QED finite and sane
+        q = qed(m1)
+        assert 0.0 < q < 1.0, (smi, q)
+
+
+def test_pdb_parser_altloc_and_icode(tmp_path):
+    """AltLoc B atoms are skipped (first conformer kept); insertion codes
+    distinguish residues."""
+    lines = [
+        # residue 1 with altloc A/B pairs at different coords
+        "ATOM      1  N  AALA A   1       0.000   0.000   0.000"
+        "  0.50  0.00           N",
+        "ATOM      2  N  BALA A   1       9.000   9.000   9.000"
+        "  0.50  0.00           N",
+        "ATOM      3  CA AALA A   1       1.500   0.000   0.000"
+        "  0.50  0.00           C",
+        # residue 52 and 52A (insertion code)
+        "ATOM      4  CA  GLY A  52       5.000   0.000   0.000"
+        "  1.00  0.00           C",
+        "ATOM      5  CA  GLY A  52A      8.000   0.000   0.000"
+        "  1.00  0.00           C",
+    ]
+    p = tmp_path / "alt.pdb"
+    p.write_text("\n".join(lines) + "\nEND\n")
+    from diffndm_tpu.data.pdb import parse_pdb
+
+    structure = parse_pdb(str(p))
+    res1 = [r for r in structure.residues if r.resi == 1]
+    assert len(res1) == 1
+    names = [a.name for a in res1[0].atoms]
+    assert names.count("N") == 1  # altloc B dropped
+    assert abs(res1[0].atoms[0].coord[0]) < 1e-6  # kept conformer A
+    gly = [r for r in structure.residues if r.resi == 52]
+    assert len(gly) == 2  # icode-separated
