@@ -126,12 +126,17 @@ class Molecule:
 
     def valence_ok(self, i: int) -> bool:
         """Atom obeys one of its allowed valences (with implicit H filling
-        up to the default)."""
+        up to the default); formal charges shift the budget the same way
+        implicit_h accounts for them (e.g. [N+] carries 4 bonds)."""
         sym = self.symbols[i]
         allowed = ALLOWED_BONDS.get(sym)
         if allowed is None:
             return False
-        v = self.bond_order_sum(i)
+        q = self.charge(i)
+        shift = 0
+        if q:
+            shift = q if sym in ("N", "P", "O", "S") else -abs(q)
+        v = self.bond_order_sum(i) - shift
         if isinstance(allowed, tuple):
             return v <= max(allowed)
         return v <= allowed or v <= _EXTRA_VALENCE.get(sym, 0)
