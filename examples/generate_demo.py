@@ -53,4 +53,11 @@ if __name__ == "__main__":
     print(f"validity={validity:.2f} connectivity={connectivity:.2f} unique={uniq:.2f}")
     qeds, sas, logps, lips = MoleculeProperties().evaluate_new([mols])
     print("QED:", [round(q, 3) for q in qeds[0]])
+    # native Vina-style affinity vs the synthetic pocket (chem/scoring.py)
+    from diffndm_tpu.chem.scoring import VinaScorer
+
+    scorer = VinaScorer(np.asarray(pocket.x[0]),
+                        ["C"] * pocket.x.shape[1])
+    affs = [round(scorer.score(m), 2) for m in mols if m is not None]
+    print("Vina-style affinity:", affs)
     print("wrote /tmp/demo_out.sdf")
