@@ -143,3 +143,22 @@ def test_plot_curves_from_metrics_jsonl(tmp_path):
     main([str(path), "--outdir", str(out), "--curves"])
     files = sorted(os.listdir(out))
     assert "curve_loss.png" in files and "curve_QED.png" in files
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/example/3rfm.pdb"),
+                    reason="reference example not mounted")
+def test_sweep_resume_skips_existing(tmp_path, capsys):
+    """--resume must skip pockets whose output SDF already exists without
+    touching the model."""
+    from diffndm_tpu.cli.sweep import main
+
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    # pre-create outputs for both example pockets
+    for name in ("3rfm", "5ndu"):
+        (outdir / f"{name}_gen.sdf").write_text("")
+    main(["none", "--test_dir", "/root/reference/example",
+          "--outdir", str(outdir), "--n_samples", "2", "--timesteps", "2",
+          "--max_pockets", "2", "--resume"])
+    out = capsys.readouterr().out
+    assert out.count("skipped (resume)") == 2
