@@ -25,6 +25,9 @@ _ORGANIC_DEFAULT_VALENCE = {
 }
 # second allowed valence states (hypervalent)
 _EXTRA_VALENCE = {"P": 5, "S": 6, "N": 3}
+# full hypervalent ladders (RDKit default valence lists) used to derive
+# implicit H for neutral atoms whose explicit valence exceeds the default
+_VALENCE_LADDERS = {"P": (3, 5), "S": (2, 4, 6)}
 
 _ELECTRONEG = {"H": 2.2, "B": 2.04, "C": 2.55, "N": 3.04, "O": 3.44,
                "F": 3.98, "P": 2.19, "S": 2.58, "Cl": 3.16, "Br": 2.96,
@@ -118,7 +121,16 @@ class Molecule:
                 dv = dv + q
             else:
                 dv = dv - abs(q)
-        return max(0, dv - self.bond_order_sum(i))
+        bos = self.bond_order_sum(i)
+        if bos > dv and q == 0:
+            # hypervalent neutral atoms climb the valence ladder like RDKit
+            # (P: 3->5, S: 2->4->6); explicit valence beyond the largest
+            # allowed state leaves no room for implicit H
+            for v in _VALENCE_LADDERS.get(sym, ()):
+                if bos <= v:
+                    dv = v
+                    break
+        return max(0, dv - bos)
 
     def total_h(self, i: int) -> int:
         return self.implicit_h(i) + sum(

@@ -6,11 +6,11 @@ Replaces the RDKit calls in the reference's MoleculeProperties
 
 - QED implements Bickerton et al. 2012 with the published ADS parameters
   and mean weights (the same constants RDKit's ``QED.qed`` uses).
-- SA implements the Ertl & Schuffenhauer 2009 pipeline (size, ring and
-  symmetry penalties, final 1..10 mapping).  The Morgan-fragment frequency
-  term is approximated by a per-atom environment score (no fpscores
-  database exists in this environment); values correlate with, but are not
-  identical to, RDKit's ``sascorer.calculateScore``.
+- SA implements the exact Ertl & Schuffenhauer 2009 pipeline, including
+  the Morgan-fragment frequency term computed with RDKit-compatible
+  radius-2 bit hashing (chem/morgan.py) over the published fpscores
+  database (vendored as chem/data/fpscores.npz; BSD-licensed Novartis
+  data, same content as analysis/SA_Score/fpscores.pkl.gz).
 - Lipinski reproduces the reference's 5-rule count including its
   ``rule_4`` walrus quirk behind a compat flag (metrics.py:174-179).
 """
@@ -18,6 +18,7 @@ Replaces the RDKit calls in the reference's MoleculeProperties
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -84,104 +85,185 @@ def qed(mol: Molecule) -> float:
 
 
 # ---------------------------------------------------------------------------
-# Synthetic accessibility (Ertl & Schuffenhauer 2009 pipeline)
+# Synthetic accessibility — exact Ertl & Schuffenhauer 2009 pipeline
+# (reference analysis/SA_Score/sascorer.py:52-113) with the real Morgan-
+# fragment frequency database and RDKit-compatible radius-2 bit hashing
+# (chem/morgan.py).
 # ---------------------------------------------------------------------------
 
-def _atom_env_score(mol: Molecule, i: int) -> float:
-    """Per-atom stand-in for the Morgan-fragment frequency score: common
-    drug-like environments score high, exotic ones low."""
-    sym = mol.symbols[i]
-    base = {"C": 0.45, "N": 0.2, "O": 0.3, "S": -0.2, "F": 0.1,
-            "Cl": 0.0, "Br": -0.2, "I": -0.6, "P": -1.0, "B": -1.5}
-    s = base.get(sym, -2.0)
-    if mol.is_aromatic_atom(i):
-        s += 0.25
-    elif mol.ring_membership[i]:
-        # non-aromatic ring membership: 5/6 rings are common, strained
-        # 3/4 rings are rare fragments
-        if any(len(r) <= 4 and i in r for r in mol.rings):
-            s -= 0.9
+_FPSCORES_ENV = "DIFFNDM_FPSCORES"
+_FPSCORES_PATHS = (
+    os.path.join(os.path.dirname(__file__), "data", "fpscores.npz"),
+    "/root/reference/analysis/SA_Score/fpscores.pkl.gz",
+)
+_fpscores_cache = None
+
+
+def _load_fpscores():
+    """(sorted uint32 bit ids, float32 scores) from the Ertl fragment
+    frequency database.  Accepts our compact npz or RDKit's pkl.gz
+    (list of [score, bit, bit, ...] rows; later rows overwrite, matching
+    sascorer.readFragmentScores:33-44)."""
+    global _fpscores_cache
+    if _fpscores_cache is not None:
+        return _fpscores_cache
+    paths = ((os.environ[_FPSCORES_ENV],) if _FPSCORES_ENV in os.environ
+             else ()) + _FPSCORES_PATHS
+    for path in paths:
+        if not os.path.exists(path):
+            continue
+        if path.endswith(".npz"):
+            with np.load(path) as z:
+                _fpscores_cache = (z["bits"], z["scores"])
         else:
-            s += 0.05
-    deg = mol.degree(i)
-    if sym == "C" and deg == 4:
-        s -= 1.0  # quaternary carbon
-    if deg >= 5:
-        s -= 1.5
-    if any(int(mol.adjacency[i, j]) == 3 for j in mol.neighbors[i]):
-        s -= 0.5
-    # heteroatom clustering is synthetically harder
-    het_nb = sum(1 for j in mol.neighbors[i]
-                 if mol.symbols[j] not in ("C", "H"))
-    if sym != "C" and het_nb >= 1:
-        s -= 0.6
-    if sym == "C" and het_nb >= 2:
-        s -= 0.5  # acetal/aminal-like carbons are rarer fragments
-    if sym in ("N", "O") and deg >= 3 and not mol.is_aromatic_atom(i):
-        s -= 0.5
-    # exotic elements next to rings or multiple bonds
-    if sym in ("P", "B", "S") and deg >= 3:
-        s -= 0.5
-    return s
+            import gzip
+            import pickle
+            with gzip.open(path) as f:
+                rows = pickle.load(f)
+            d = {}
+            for row in rows:
+                s = float(row[0])
+                for b in row[1:]:
+                    d[b] = s
+            bits = np.array(sorted(d), dtype=np.uint32)
+            _fpscores_cache = (
+                bits, np.array([d[b] for b in bits], dtype=np.float32))
+        return _fpscores_cache
+    raise FileNotFoundError(
+        "fpscores database not found; set DIFFNDM_FPSCORES or restore "
+        "diffndm_tpu/chem/data/fpscores.npz")
+
+
+def _fragment_score(mol: Molecule):
+    """Mean fragment-frequency score over the radius-2 Morgan count
+    fingerprint (sascorer.py:56-66); unknown fragments score -4.
+    Returns (score1, number of distinct bits)."""
+    from diffndm_tpu.chem.morgan import morgan_counts
+
+    fps = morgan_counts(mol, 2)
+    bits, scores = _load_fpscores()
+    ids = np.fromiter(fps.keys(), dtype=np.uint32, count=len(fps))
+    cnt = np.fromiter(fps.values(), dtype=np.float64, count=len(fps))
+    idx = np.searchsorted(bits, ids)
+    idx_c = np.minimum(idx, len(bits) - 1)
+    vals = np.where(bits[idx_c] == ids, scores[idx_c].astype(np.float64),
+                    -4.0)
+    return float((vals * cnt).sum() / cnt.sum()), len(fps)
+
+
+def _branch_key(mol: Molecule, root: int, banned: int, order: int):
+    """Canonical identity of the branch reachable from ``root`` without
+    passing through ``banned`` (WL refinement), tagged with the
+    root-to-center bond order — used to compare substituents for potential
+    stereocenters the way CIP ranks do."""
+    comp = []
+    seen = {banned, root}
+    stack = [root]
+    comp.append(root)
+    while stack:
+        u = stack.pop()
+        for v in mol.neighbors[u]:
+            if v not in seen:
+                seen.add(v)
+                comp.append(v)
+                stack.append(v)
+    labels = {v: hash((mol.symbols[v], mol.charge(v), mol.implicit_h(v)))
+              for v in comp}
+    in_comp = set(comp)
+    adj = mol.adjacency
+    for _ in range(min(len(comp), 12)):
+        # hash-compressed WL refinement: labels stay O(1) and remain
+        # comparable across branches (equality is what matters here)
+        labels = {
+            v: hash((labels[v],
+                     tuple(sorted((int(adj[v, w]), labels[w])
+                                  for w in mol.neighbors[v]
+                                  if w in in_comp))))
+            for v in comp}
+    return (order, labels[root], len(comp),
+            tuple(sorted(labels.values())))
+
+
+def num_potential_stereocenters(mol: Molecule) -> int:
+    """Approximates RDKit ``FindMolChiralCenters(includeUnassigned=True)``:
+    atoms whose four substituents (implicit H counts as one) are pairwise
+    distinct, plus trivalent P/As with three distinct neighbors
+    (lone pair as the fourth group)."""
+    n_centers = 0
+    for a in range(mol.n_atoms):
+        sym = mol.symbols[a]
+        deg = mol.degree(a)
+        ih = mol.implicit_h(a)
+        if sym in ("P", "As") and deg == 3 and ih == 0:
+            branches = [_branch_key(mol, j, a, int(mol.adjacency[a, j]))
+                        for j in mol.neighbors[a]]
+        elif deg + ih == 4 and ih <= 1 and deg >= 3:
+            if sym not in ("C", "Si", "N", "P", "S"):
+                continue
+            # only charged (quaternary) N is configurationally stable
+            if sym == "N" and mol.charge(a) <= 0:
+                continue
+            branches = [_branch_key(mol, j, a, int(mol.adjacency[a, j]))
+                        for j in mol.neighbors[a]]
+            if ih == 1:
+                branches.append(("H",))
+        else:
+            continue
+        if len(set(branches)) == len(branches):
+            n_centers += 1
+    return n_centers
 
 
 def _num_spiro_and_bridge(mol: Molecule):
+    """RDKit ``CalcNumSpiroAtoms`` / ``CalcNumBridgeheadAtoms``: spiro =
+    atom shared by two rings whose intersection is exactly that atom;
+    bridgeheads = endpoint atoms of a >=2-bond path shared by two rings
+    (e.g. norbornane has 2, a fused bicyclic like naphthalene has 0)."""
     rings = [set(r) for r in mol.rings]
+    ring_bonds = []
+    for r in mol.rings:
+        rs = set(r)
+        ring_bonds.append({frozenset((i, j)) for i, j, _ in mol.bonds
+                           if i in rs and j in rs})
     spiro, bridge = set(), set()
-    for a in range(mol.n_atoms):
-        membership = [r for r in rings if a in r]
-        if len(membership) < 2:
-            continue
-        for x in range(len(membership)):
-            for y in range(x + 1, len(membership)):
-                inter = membership[x] & membership[y]
-                if inter == {a}:
-                    spiro.add(a)
-                elif len(inter) > 2 and a in inter:
-                    bridge.add(a)
+    for x in range(len(rings)):
+        for y in range(x + 1, len(rings)):
+            inter = rings[x] & rings[y]
+            if len(inter) == 1:
+                spiro |= inter
+            shared_bonds = ring_bonds[x] & ring_bonds[y]
+            if len(shared_bonds) >= 2:
+                for a in inter:
+                    if sum(1 for b in shared_bonds if a in b) == 1:
+                        bridge.add(a)
     return len(spiro), len(bridge)
 
 
-# Affine calibration of the heuristic fragment term, least-squares fitted
-# against the seven committed reference molecule sets' RDKit SA aggregates
-# (my_example_{origion,SPSA,ATP,mix}/..., my_example_inpaint/...; thesis
-# tables 4-1/4-2).  The raw per-atom heuristic under-disperses relative to
-# Ertl's Morgan-fragment frequencies (fpscores); the gain widens the
-# spread, the offset centres it.  Post-fit per-set bias is within +-0.08
-# normalized-SA (was uniformly +0.07..+0.16 before).
-_FRAG_GAIN = 13.0
-_FRAG_OFFSET = -3.6
-
-
 def sa_score_raw(mol: Molecule) -> float:
-    """Ertl-style raw SA score in ~[1, 10] (lower = easier)."""
+    """Ertl raw SA score in [1, 10] (lower = easier), matching
+    sascorer.calculateScore term by term."""
     n = mol.n_atoms
     if n == 0:
         return 10.0
-    frag_score = (_FRAG_GAIN
-                  * float(np.mean([_atom_env_score(mol, i)
-                                   for i in range(n)]))
-                  + _FRAG_OFFSET)
+    score1, n_distinct_bits = _fragment_score(mol)
 
     size_penalty = n ** 1.005 - n
+    stereo_penalty = math.log10(num_potential_stereocenters(mol) + 1)
     n_spiro, n_bridge = _num_spiro_and_bridge(mol)
     spiro_penalty = math.log10(n_spiro + 1)
     bridge_penalty = math.log10(n_bridge + 1)
-    macro_penalty = math.log10(2) if any(len(r) > 8 for r in mol.rings) else 0
-    score2 = -size_penalty - spiro_penalty - bridge_penalty - macro_penalty
+    macro_penalty = math.log10(2) if any(len(r) > 8 for r in mol.rings) \
+        else 0.0
+    score2 = (-size_penalty - stereo_penalty - spiro_penalty
+              - bridge_penalty - macro_penalty)
 
-    # symmetry bonus: repeated environments are easier to make
-    envs = set()
-    for i in range(n):
-        key = (mol.symbols[i], mol.degree(i), mol.implicit_h(i),
-               bool(mol.is_aromatic_atom(i)))
-        envs.add(key)
+    # fingerprint-density correction for symmetric molecules
     score3 = 0.0
-    if n > len(envs):
-        score3 = math.log(float(n) / len(envs)) * 0.5
+    if n > n_distinct_bits:
+        score3 = math.log(float(n) / n_distinct_bits) * 0.5
 
-    sascore = frag_score + score2 + score3
-    # map to 1..10 (sascorer.py tail)
+    sascore = score1 + score2 + score3
+    # map to 1..10 (sascorer.py:101-111)
     smin, smax = -4.0, 2.5
     sascore = 11.0 - (sascore - smin + 1) / (smax - smin) * 9.0
     if sascore > 8.0:

@@ -52,12 +52,14 @@ def test_descriptor_aggregates_near_rdkit(ref_sdfs):
     validity = len(rows) / n_total
     qed, sa, logp, lip = arr.mean(0)
 
-    # RDKit references (thesis 4-1) with tolerance for our from-scratch
-    # stack; round-2 measured values after the SA fragment-term affine
-    # calibration and the extended Brenk alert set: QED 0.506, SA 0.599,
-    # LogP 0.868, Lipinski 4.668, validity 0.966
-    assert abs(qed - 0.490) < 0.06
-    assert abs(sa - 0.626) < 0.07
+    # RDKit references (thesis 4-1).  SA is the exact Ertl pipeline with
+    # the real fpscores database and RDKit-compatible Morgan hashing
+    # (round-3): measured bias -0.0008 on this set, pinned at +-0.01.
+    # QED uses distinct-alert-class semantics (round-3 measured bias
+    # +0.013 here, max +-0.032 over all 7 committed sets); LogP carries
+    # the known Crippen-typing residual (round-3 measured: LogP 0.617).
+    assert abs(qed - 0.490) < 0.02
+    assert abs(sa - 0.626) < 0.01
     assert abs(logp - 1.054) < 0.8
     assert abs(lip - 4.735) < 0.3
     assert validity > 0.90
@@ -74,10 +76,11 @@ SETS = {
 
 
 def test_sa_calibration_tracks_per_set_aggregates(tmp_path):
-    """The SA fragment-term calibration must track the per-configuration
-    RDKit aggregates (thesis 4-1/4-2), not just the global mean — SA
-    carries weight 2-3 in every guidance reward, so the *direction* of
-    its discrimination matters (VERDICT round 1, missing #5)."""
+    """The exact Ertl SA must track the per-configuration RDKit aggregates
+    (thesis 4-1/4-2), not just the global mean — SA carries weight 2-3 in
+    every guidance reward, so the *direction* of its discrimination
+    matters.  Round-3 measured biases: SPSA +0.0004, mix -0.0000,
+    inp_SPSA +0.0198 (the P/B-rich acyclic outlier set)."""
     from diffndm_tpu.chem.io import read_sdf
     from diffndm_tpu.chem.metrics import MoleculeProperties
     from diffndm_tpu.chem.sanitize import SanitizeError, sanitize
@@ -99,5 +102,5 @@ def test_sa_calibration_tracks_per_set_aggregates(tmp_path):
                     continue
                 sas.append(props.calculate_sa(mol))
                 qeds.append(props.calculate_qed(mol))
-        assert abs(np.mean(sas) - sa_ref) < 0.09, (name, np.mean(sas))
-        assert abs(np.mean(qeds) - qed_ref) < 0.09, (name, np.mean(qeds))
+        assert abs(np.mean(sas) - sa_ref) < 0.03, (name, np.mean(sas))
+        assert abs(np.mean(qeds) - qed_ref) < 0.05, (name, np.mean(qeds))
