@@ -42,6 +42,22 @@ BASELINE_GUIDED = 20.0 / 1080.0    # lig/s, estimate (SPSA+SVDD adds RDKit
 REF_EXAMPLE = "/root/reference/example"
 
 
+def _baseline_measured():
+    """Measured CPU anchor for the baseline estimate, produced by
+    scripts/measure_baseline_cpu.py (reference torch EGNN forward timed on
+    this host; see BASELINE.md 'Measured anchor')."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return {"ref_cpu_lig_s": d.get("ref_cpu_lig_s_upper_bound"),
+            "ref_fwd_ms": d.get("ref_fwd_ms"),
+            "cpu_count": d.get("cpu_count"),
+            "implied_gpu_over_cpu": d.get("implied_gpu_over_cpu")}
+
+
 def build_pocket(B, NP, atom_nf):
     """Real 3rfm pocket (repeated B times) when available, synthetic
     otherwise. Returns (pocket NodeBatch, name)."""
@@ -184,6 +200,7 @@ def main():
         "unit": "ligands/s",
         "vs_baseline": round(unguided / BASELINE_UNGUIDED, 2),
         "baseline_is_estimate": True,
+        "baseline_measured": _baseline_measured(),
         "pocket": pocket_name,
         "band_window": band or 0,
         "band_exact": bool(band_exact),
