@@ -27,7 +27,10 @@ def load(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     path = _lib_path()
-    if not os.path.exists(path) and build_if_missing:
+    src = os.path.join(os.path.dirname(path), "chemgraph.cpp")
+    stale = (os.path.exists(path) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(path))
+    if (not os.path.exists(path) or stale) and build_if_missing:
         script = os.path.join(os.path.dirname(path), "build.sh")
         try:
             subprocess.run(["sh", script], check=True, capture_output=True,

@@ -19,6 +19,10 @@ this automatically.
 
 from __future__ import annotations
 
+import os
+import time
+from collections import defaultdict
+from contextlib import contextmanager
 from functools import partial
 from typing import Optional
 
@@ -66,6 +70,45 @@ def supports_io_callback() -> bool:
     return _IO_CALLBACK_OK
 
 
+class _PhaseProfiler:
+    """Per-phase wall-clock accounting for the host-guided loop, enabled
+    with DIFFNDM_GUIDED_PROFILE=1.  In profile mode each phase blocks on
+    its device values so dispatch/fetch/score costs attribute correctly
+    (this serialises the pipeline — use only for diagnosis)."""
+
+    def __init__(self, enabled: bool):
+        self.enabled = enabled
+        self.total = defaultdict(float)
+        self.count = defaultdict(int)
+
+    @contextmanager
+    def phase(self, name: str, *block_on):
+        if not self.enabled:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            for v in block_on:
+                jax.block_until_ready(v)
+            self.total[name] += time.perf_counter() - t0
+            self.count[name] += 1
+
+    def block(self, *vals):
+        if self.enabled:
+            jax.block_until_ready(vals)
+
+    def report(self) -> str:
+        lines = ["guided-phase profile (s, calls):"]
+        for k in sorted(self.total, key=self.total.get, reverse=True):
+            lines.append("  %-16s %8.3f  x%d" % (k, self.total[k],
+                                                 self.count[k]))
+        lines.append("  %-16s %8.3f" % ("TOTAL",
+                                        sum(self.total.values())))
+        return "\n".join(lines)
+
+
 class HostGuidedSampler:
     """Mirrors ConditionalSampler.sample_given_pocket for runtimes
     without host-callback support."""
@@ -80,6 +123,8 @@ class HostGuidedSampler:
         self.oracle = oracle
         self.adjust_module = adjust_module
         self._jit_cache = {}
+        self.prof = _PhaseProfiler(
+            os.environ.get("DIFFNDM_GUIDED_PROFILE") == "1")
 
     # -- jitted building blocks ----------------------------------------
     def _eps_fn(self, params):
@@ -340,16 +385,27 @@ class HostGuidedSampler:
         apply_fn = self._get("spsa_apply", self._spsa_apply)
         b = z.shape[0]
         k = cfg.num_probes
-        perts, z0s = probe(params, key, z, xh_p, lig_mask, pocket_mask,
-                           jnp.asarray(s), jnp.asarray(zeta))
+        with self.prof.phase("spsa.probe") as _:
+            perts, z0s = probe(params, key, z, xh_p, lig_mask, pocket_mask,
+                               jnp.asarray(s), jnp.asarray(zeta))
+            self.prof.block(z0s)
         # one host scoring pass over all k*2B decodes
-        z0_flat = np.asarray(z0s).reshape((k * 2 * b,) + z0s.shape[2:])
-        lm_flat = np.tile(np.asarray(lig_mask), (k * 2, 1))
-        rewards = self._spsa_rewards_np(z0_flat, lm_flat).reshape(k, 2 * b)
+        with self.prof.phase("spsa.fetch"):
+            z0_np = np.asarray(z0s)
+            lm_np = np.asarray(lig_mask)
+        z0_flat = z0_np.reshape((k * 2 * b,) + z0s.shape[2:])
+        lm_flat = np.tile(lm_np, (k * 2, 1))
+        with self.prof.phase("spsa.score"):
+            rewards = self._spsa_rewards_np(z0_flat,
+                                            lm_flat).reshape(k, 2 * b)
         dd = (rewards[:, :b] - rewards[:, b:]) / (2.0 * ZETA_GRAD_DENOM)
-        avg = jnp.mean(jnp.asarray(dd)[:, :, None, None] * perts, axis=0)
-        return apply_fn(z, xh_p, avg, lig_mask, pocket_mask,
-                        jnp.asarray(cfg.guidance_scale))
+        with self.prof.phase("spsa.apply") as _:
+            avg = jnp.mean(jnp.asarray(dd)[:, :, None, None] * perts,
+                           axis=0)
+            out = apply_fn(z, xh_p, avg, lig_mask, pocket_mask,
+                           jnp.asarray(cfg.guidance_scale))
+            self.prof.block(out)
+        return out
 
     # -- ATP event ------------------------------------------------------
     def _run_atp_event(self, params, key, z, xh_p, lig_mask, pocket_mask,
@@ -359,15 +415,25 @@ class HostGuidedSampler:
                          partial(self._atp_candidates, timesteps,
                                  cfg.num_groups - 1))
         select = self._get("atp_select", self._atp_select)
-        z_groups, xh_groups, z0_groups = cand(
-            params, key, z, xh_p, lig_mask, pocket_mask, jnp.asarray(s))
+        with self.prof.phase("atp.cand"):
+            z_groups, xh_groups, z0_groups = cand(
+                params, key, z, xh_p, lig_mask, pocket_mask,
+                jnp.asarray(s))
+            self.prof.block(z0_groups)
         g, b = z_groups.shape[0], z_groups.shape[1]
-        lm_f = np.tile(np.asarray(lig_mask), (g, 1))
-        flat = lambda a: np.asarray(a).reshape((g * b,) + a.shape[2:])
-        r_z = self._svdd_rewards_np(flat(z_groups), lm_f)
-        r_x0 = self._svdd_rewards_np(flat(z0_groups), lm_f)
+        with self.prof.phase("atp.fetch"):
+            zg_np, z0g_np = np.asarray(z_groups), np.asarray(z0_groups)
+            lm_np = np.asarray(lig_mask)
+        lm_f = np.tile(lm_np, (g, 1))
+        flat = lambda a: a.reshape((g * b,) + a.shape[2:])
+        with self.prof.phase("atp.score"):
+            r_z = self._svdd_rewards_np(flat(zg_np), lm_f)
+            r_x0 = self._svdd_rewards_np(flat(z0g_np), lm_f)
         mixed = jnp.asarray(self._mixed_reward(r_x0, r_z, float(s)))
-        return select(z_groups, xh_groups, mixed, lig_mask, pocket_mask)
+        with self.prof.phase("atp.select"):
+            out = select(z_groups, xh_groups, mixed, lig_mask, pocket_mask)
+            self.prof.block(out)
+        return out
 
     # -- hybrid SPSA event at s == start_step ---------------------------
     def _run_hybrid_event(self, params, key, z, xh_p, lig_mask,
@@ -377,8 +443,10 @@ class HostGuidedSampler:
         branches = self._get(("hybrid_branch", timesteps, g_extra),
                              partial(self._hybrid_branches, timesteps,
                                      g_extra))
-        zb, xhb, k2s = branches(params, key, z, xh_p, lig_mask,
-                                pocket_mask, jnp.asarray(s))
+        with self.prof.phase("hyb.branch"):
+            zb, xhb, k2s = branches(params, key, z, xh_p, lig_mask,
+                                    pocket_mask, jnp.asarray(s))
+            self.prof.block(zb)
         zs, xhs = [z], [xh_p]
         for i in range(g_extra):
             # multi-scale quirk: extra branches i >= 2 use zeta0
@@ -396,16 +464,25 @@ class HostGuidedSampler:
         # term, z decode for the second
         look = self._get(("hybrid_look", timesteps),
                          partial(self._lookahead_groups, timesteps))
-        z0_groups = look(params, z_groups, xh_groups, lig_mask, pocket_mask,
-                         jnp.asarray(s))
+        with self.prof.phase("hyb.look"):
+            z0_groups = look(params, z_groups, xh_groups, lig_mask,
+                             pocket_mask, jnp.asarray(s))
+            self.prof.block(z0_groups)
         g, b = z_groups.shape[0], z_groups.shape[1]
-        lm_f = np.tile(np.asarray(lig_mask), (g, 1))
-        flat = lambda a: np.asarray(a).reshape((g * b,) + a.shape[2:])
-        r_z = self._svdd_rewards_np(flat(z_groups), lm_f)
-        r_x0 = self._svdd_rewards_np(flat(z0_groups), lm_f)
+        with self.prof.phase("hyb.fetch"):
+            zg_np, z0g_np = np.asarray(z_groups), np.asarray(z0_groups)
+            lm_np = np.asarray(lig_mask)
+        lm_f = np.tile(lm_np, (g, 1))
+        flat = lambda a: a.reshape((g * b,) + a.shape[2:])
+        with self.prof.phase("hyb.score"):
+            r_z = self._svdd_rewards_np(flat(zg_np), lm_f)
+            r_x0 = self._svdd_rewards_np(flat(z0g_np), lm_f)
         mixed = jnp.asarray(self._mixed_reward(r_x0, r_z, float(s)))
         select = self._get("atp_select", self._atp_select)
-        return select(z_groups, xh_groups, mixed, lig_mask, pocket_mask)
+        with self.prof.phase("hyb.select"):
+            out = select(z_groups, xh_groups, mixed, lig_mask, pocket_mask)
+            self.prof.block(out)
+        return out
 
     # -- main loop ------------------------------------------------------
     def sample(self, key, pocket: NodeBatch, lig_mask: jnp.ndarray,
@@ -454,8 +531,10 @@ class HostGuidedSampler:
             lo = se if se is not None else 0
             if pos >= lo:
                 steps = jnp.arange(pos, lo - 1, -1)
-                z, xh_p, lp_sum = seg(params, adjust_params, run_key, z,
-                                      xh_p, lm, pm, steps, lp_sum)
+                with self.prof.phase("segment"):
+                    z, xh_p, lp_sum = seg(params, adjust_params, run_key,
+                                          z, xh_p, lm, pm, steps, lp_sum)
+                    self.prof.block(z)
                 pos = lo - 1
             if se is None:
                 break
@@ -481,7 +560,11 @@ class HostGuidedSampler:
                            partial(self._decode, timesteps))
         com_before = masked_mean(pocket.x, pocket.mask, axis=1,
                                  keepdims=True)[row_src]
-        x_lig, h_lig, x_pocket, h_pocket = decode(
-            params, k_dec, z, xh_p, lm, pm, com_before)
+        with self.prof.phase("decode"):
+            x_lig, h_lig, x_pocket, h_pocket = decode(
+                params, k_dec, z, xh_p, lm, pm, com_before)
+            self.prof.block(x_lig)
+        if self.prof.enabled:
+            print(self.prof.report(), flush=True)
         avg_lp = lp_sum / max(timesteps, 1)
         return x_lig, h_lig, x_pocket, h_pocket, avg_lp, lm, pm

@@ -494,7 +494,14 @@ class EquivariantUpdate(nn.Module):
                     va = x_rows[:, :, None, :].astype(dt) - ctr
                     vb = x_cols - ctr
                     cr = jnp.cross(va, vb)
-                    norm = jnp.linalg.norm(cr, axis=-1, keepdims=True)
+                    # padded node pairs sit at the origin, making the
+                    # cross product exactly zero; linalg.norm has a NaN
+                    # gradient at 0, so guard with the double-where
+                    # pattern (forward value is bitwise identical)
+                    n2 = jnp.sum(cr * cr, axis=-1, keepdims=True)
+                    norm = jnp.where(n2 > 0,
+                                     jnp.sqrt(jnp.where(n2 > 0, n2, 1.0)),
+                                     0.0)
                     cr = cr / (norm + cfg.norm_constant)
                     trans = trans + cr * phi_c
                 adj_rows = c.adj_rows(i0)

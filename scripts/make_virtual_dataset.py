@@ -1,0 +1,183 @@
+"""Build a synthetic-pocket training set from posed ligand SDFs.
+
+The image carries no CrossDocked/MOAD protein data, so end-to-end training
+demos use *virtual pockets*: for each real 3D ligand we synthesise a
+protein-like shell of heavy atoms at van-der-Waals contact distance around
+it (with a solvent "mouth" opening, like a real binding site).  The ligands
+themselves are real drug-like molecules — by default the 2,000 reference-
+generated molecules committed under /root/reference/my_example_origion —
+so a model trained on this set must learn genuine chemistry (valences,
+bond lengths, ring geometry) to sample valid molecules.
+
+Output: the reference's flat npz split format (dataset.py:7-50 semantics —
+per-node arrays + sample-index "masks"), directly consumable by
+diffndm_tpu.cli.train.
+
+Usage:
+  python scripts/make_virtual_dataset.py --out data/processed/virtual \
+      [--sdf_dir DIR | --zip ZIP] [--max_lig 24] [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import tempfile
+import zipfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+DEFAULT_ZIP = "/root/reference/my_example_origion/600_final.zip"
+
+# protein heavy-atom composition (C/N/O/S), approximate over residue
+# side chains + backbone
+POCKET_TYPES = ["C", "N", "O", "S"]
+POCKET_PROBS = [0.63, 0.17, 0.19, 0.01]
+
+
+def synth_pocket(lig: np.ndarray, rng: np.random.Generator,
+                 min_d: float = 3.3, max_d: float = 4.6,
+                 min_lig_clash: float = 3.1, min_self: float = 2.8,
+                 per_atom: int = 10, mouth_deg: float = 60.0
+                 ) -> np.ndarray:
+    """Sample a contact shell of pseudo-protein atoms around a ligand.
+
+    Candidate points sit ``U(min_d, max_d)`` A from a random ligand atom;
+    kept greedily if they clash with neither the ligand
+    (>= min_lig_clash to every ligand atom) nor already-kept shell atoms
+    (>= min_self).  A random cone of ``mouth_deg`` half-angle from the
+    ligand COM is carved out as the solvent-exposed mouth.
+    """
+    n = len(lig)
+    com = lig.mean(0)
+    mouth_dir = rng.normal(size=3)
+    mouth_dir /= np.linalg.norm(mouth_dir)
+    cos_mouth = np.cos(np.deg2rad(mouth_deg))
+
+    anchors = rng.integers(0, n, size=n * per_atom)
+    dirs = rng.normal(size=(n * per_atom, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    dist = rng.uniform(min_d, max_d, size=(n * per_atom, 1))
+    cand = lig[anchors] + dirs * dist
+
+    # mouth carve-out
+    rel = cand - com
+    rel /= np.maximum(np.linalg.norm(rel, axis=1, keepdims=True), 1e-9)
+    cand = cand[(rel @ mouth_dir) < cos_mouth]
+    rng.shuffle(cand)
+
+    # ligand clash filter (vectorised), then greedy self-spacing
+    d_lig = np.linalg.norm(cand[:, None] - lig[None], axis=-1).min(1)
+    cand = cand[d_lig >= min_lig_clash]
+    kept: list[np.ndarray] = []
+    for p in cand:
+        if kept and np.min(np.linalg.norm(np.stack(kept) - p,
+                                          axis=1)) < min_self:
+            continue
+        kept.append(p)
+    return np.stack(kept) if kept else np.zeros((0, 3))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--sdf_dir", default=None)
+    ap.add_argument("--zip", default=DEFAULT_ZIP)
+    ap.add_argument("--max_lig", type=int, default=24,
+                    help="skip ligands with more heavy atoms")
+    ap.add_argument("--min_lig", type=int, default=8)
+    ap.add_argument("--val_frac", type=float, default=0.05)
+    ap.add_argument("--test_frac", type=float, default=0.05)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--require_valid", action="store_true", default=True)
+    args = ap.parse_args(argv)
+
+    from diffndm_tpu.chem.bonds import build_molecule
+    from diffndm_tpu.chem.io import read_sdf
+    from diffndm_tpu.chem.sanitize import SanitizeError, sanitize
+    from diffndm_tpu.constants import dataset_params
+
+    enc = dataset_params["crossdock_full"]["atom_encoder"]
+    nf = len(enc)
+    dataset_info = dataset_params["crossdock_full"]
+
+    sdf_dir = args.sdf_dir
+    tmp = None
+    if sdf_dir is None:
+        tmp = tempfile.mkdtemp(prefix="virtual_sdf_")
+        with zipfile.ZipFile(args.zip) as z:
+            z.extractall(tmp)
+        sdf_dir = tmp
+
+    rng = np.random.default_rng(args.seed)
+    pairs = []  # (lig_xyz, lig_oh, poc_xyz, poc_oh, name)
+    n_skip_size = n_skip_type = n_skip_invalid = 0
+    files = sorted(glob.glob(os.path.join(sdf_dir, "**", "*.sdf"),
+                             recursive=True))
+    for path in files:
+        base = os.path.splitext(os.path.basename(path))[0][:40]
+        for mi, mol in enumerate(read_sdf(path)):
+            if not (args.min_lig <= mol.n_atoms <= args.max_lig):
+                n_skip_size += 1
+                continue
+            if any(s not in enc or s == "others" for s in mol.symbols):
+                n_skip_type += 1
+                continue
+            xyz = np.asarray(mol.coords, np.float32)
+            types = np.array([enc[s] for s in mol.symbols])
+            if args.require_valid:
+                # keep the training distribution clean: geometry-derived
+                # bonds must sanitize (same oracle the eval uses)
+                try:
+                    sanitize(build_molecule(xyz, types, dataset_info))
+                except SanitizeError:
+                    n_skip_invalid += 1
+                    continue
+            poc = synth_pocket(xyz, rng).astype(np.float32)
+            if len(poc) < 16:
+                n_skip_size += 1
+                continue
+            poc_t = rng.choice([enc[s] for s in POCKET_TYPES],
+                               size=len(poc), p=POCKET_PROBS)
+            lig_oh = np.eye(nf, dtype=np.float32)[types]
+            poc_oh = np.eye(nf, dtype=np.float32)[poc_t]
+            pairs.append((xyz, lig_oh, poc, poc_oh, f"{base}_{mi}"))
+
+    rng.shuffle(pairs)
+    n = len(pairs)
+    n_val = max(int(n * args.val_frac), 1)
+    n_test = max(int(n * args.test_frac), 1)
+    splits = {"val": pairs[:n_val],
+              "test": pairs[n_val:n_val + n_test],
+              "train": pairs[n_val + n_test:]}
+    os.makedirs(args.out, exist_ok=True)
+    for split, items in splits.items():
+        lig_c, lig_h, lig_m = [], [], []
+        poc_c, poc_h, poc_m = [], [], []
+        names = []
+        for i, (lx, lh, px, ph, nm) in enumerate(items):
+            lig_c.append(lx); lig_h.append(lh)
+            lig_m.append(np.full(len(lx), i, np.int64))
+            poc_c.append(px); poc_h.append(ph)
+            poc_m.append(np.full(len(px), i, np.int64))
+            names.append(nm)
+        np.savez(os.path.join(args.out, f"{split}.npz"),
+                 lig_coords=np.concatenate(lig_c),
+                 lig_one_hot=np.concatenate(lig_h),
+                 lig_mask=np.concatenate(lig_m),
+                 pocket_coords=np.concatenate(poc_c),
+                 pocket_one_hot=np.concatenate(poc_h),
+                 pocket_mask=np.concatenate(poc_m),
+                 names=np.array(names))
+        print(f"{split}: {len(items)} pairs")
+    print(f"kept {n} / skipped size={n_skip_size} type={n_skip_type} "
+          f"invalid={n_skip_invalid}")
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,37 @@ def test_loss_decreases(trainer):
     assert "clip_threshold" in info
 
 
+def test_cross_term_finite_grads_with_padding():
+    """Regression: the reflection-breaking cross-product term
+    (egnn.py, cf. egnn_new.py:305-310) hit jnp.linalg.norm's NaN
+    gradient at 0 whenever a padded node pair made cross(va, vb)
+    exactly zero — padded rows sit at the origin, so va == vb == -ctr.
+    The reference never evaluates such pairs (flat edge lists); the
+    padded dense design must guard the backward instead."""
+    cfg = EGNNConfig(hidden_nf=16, joint_nf=8, n_layers=1, row_tile=16,
+                     attention=True, reflection_equivariant=False)
+    module = EGNNDynamics(cfg, atom_nf=ATOM_NF, residue_nf=ATOM_NF)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, NL, 13)),
+                         jnp.zeros((1, NP, 13)), jnp.zeros((1,)),
+                         jnp.ones((1, NL)), jnp.ones((1, NP)))
+    core = CondDiffusion(S.make_schedule("polynomial_2", T, 5e-4),
+                         DiffusionConfig(timesteps=T), ATOM_NF, ATOM_NF)
+    trainer = Trainer(core, module, params, TrainConfig(lr=1e-3),
+                      lj_rm=DP["lennard_jones_rm"])
+    ligand, pocket = make_batch(jax.random.PRNGKey(4))
+    # off-center system with padded tail rows (coords zeroed): the exact
+    # configuration that zeroed the cross product
+    lig_mask = jnp.asarray(np.repeat([[1.0] * (NL - 3) + [0.0] * 3], B, 0))
+    poc_mask = jnp.asarray(np.repeat([[1.0] * (NP - 5) + [0.0] * 5], B, 0))
+    ligand = NodeBatch(x=(ligand.x + 5.0) * lig_mask[..., None],
+                       h=ligand.h * lig_mask[..., None], mask=lig_mask)
+    pocket = NodeBatch(x=(pocket.x + 5.0) * poc_mask[..., None],
+                       h=pocket.h * poc_mask[..., None], mask=poc_mask)
+    loss, info = trainer.train_step(jax.random.PRNGKey(5), ligand, pocket)
+    assert np.isfinite(loss)
+    assert np.isfinite(info["grad_norm"])
+
+
 def test_eval_step(trainer):
     ligand, pocket = make_batch(jax.random.PRNGKey(2))
     loss, info = trainer.eval_step(jax.random.PRNGKey(3), ligand, pocket)
