@@ -131,9 +131,29 @@ def perceive_molecule(coords: np.ndarray, type_idx: np.ndarray,
                 need.add(a)
             elif s == "N" and g.degree[a] == 2:
                 need.add(a)  # prefer pyridine-like; matching may skip it
-        mg = nx.Graph([(i, j) for (i, j) in arom_edges
-                       if i in need and j in need])
-        matching = nx.max_weight_matching(mg, maxcardinality=True)
+        # sorted edge order: the blossom result depends on adjacency
+        # insertion order, and the native scorer inserts edges in sorted
+        # order — keep both paths identical
+        mm_edges = sorted((i, j) for (i, j) in arom_edges
+                          if i in need and j in need)
+        # prefer the native deterministic blossom (shared with the native
+        # scorer, chemscore.cpp) so kekulization ties resolve identically
+        # on both paths; networkx is the pure-Python fallback
+        from diffndm_tpu.chem.native import max_matching_native
+
+        nodes = sorted(need)
+        remap = {a: k for k, a in enumerate(nodes)}
+        nat = max_matching_native(len(nodes),
+                                  [(remap[i], remap[j])
+                                   for i, j in mm_edges]) \
+            if mm_edges else None
+        if nat is not None:
+            matching = [(nodes[k], nodes[int(nat[k])])
+                        for k in range(len(nodes))
+                        if nat[k] >= 0 and k < int(nat[k])]
+        else:
+            mg = nx.Graph(mm_edges)
+            matching = nx.max_weight_matching(mg, maxcardinality=True)
         for i, j in matching:
             e = (min(i, j), max(i, j))
             order[e] = 2

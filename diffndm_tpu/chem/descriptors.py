@@ -147,7 +147,12 @@ def _oxygen_type(mol: Molecule, i: int) -> str:
 
 
 def crippen_logp(mol: Molecule) -> float:
-    """Wildman-Crippen style LogP with implicit-H contributions."""
+    """Wildman-Crippen style LogP with implicit-H contributions.
+    Cached per molecule: qed/lipinski/logp all need it."""
+    return mol._cached("crippen_logp", lambda: _crippen_logp(mol))
+
+
+def _crippen_logp(mol: Molecule) -> float:
     total = 0.0
     for i, sym in enumerate(mol.symbols):
         n_h = mol.implicit_h(i)

@@ -59,8 +59,94 @@ def load(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         ctypes.c_float,
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
+    if hasattr(lib, "cg_max_matching"):
+        lib.cg_max_matching.restype = ctypes.c_int
+        lib.cg_max_matching.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+    if hasattr(lib, "cs_score_batch"):
+        lib.cs_score_batch.restype = ctypes.c_int
+        lib.cs_score_batch.argtypes = [
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
     _LIB = lib
     return lib
+
+
+def max_matching_native(n: int, edges) -> Optional[np.ndarray]:
+    """Deterministic maximum-cardinality matching (blossom) shared with the
+    native scorer's kekulization; [n] match array (-1 unmatched) or None."""
+    lib = load()
+    if lib is None or not hasattr(lib, "cg_max_matching"):
+        return None
+    m = len(edges)
+    e = (np.asarray(edges, np.int32).reshape(m, 2) if m
+         else np.zeros((0, 2), np.int32))
+    out = np.full((n,), -1, np.int32)
+    lib.cg_max_matching(n, m, np.ascontiguousarray(e.reshape(-1)), out)
+    return out
+
+
+# element-code ABI shared with native/chemscore.cpp (enum Elem)
+_ELEM_CODES = {"C": 0, "N": 1, "O": 2, "S": 3, "B": 4, "Br": 5, "Cl": 6,
+               "P": 7, "I": 8, "F": 9}
+
+
+class NativeScorer:
+    """One-call-per-batch reward scoring (native/chemscore.cpp), the
+    production path for guidance oracle populations.  Rows the native
+    code cannot handle (>64 bonds) are flagged for the Python fallback."""
+
+    def __init__(self, dataset_info: dict):
+        from diffndm_tpu.chem.properties import _load_fpscores
+
+        self.lib = load()
+        if self.lib is None or not hasattr(self.lib, "cs_score_batch"):
+            raise RuntimeError("native scorer unavailable")
+        decoder = dataset_info["atom_decoder"]
+        self.T = len(decoder)
+        self.elem = np.array([_ELEM_CODES.get(s, 10) for s in decoder],
+                             np.int32)
+        self.b1 = np.ascontiguousarray(dataset_info["bonds1"], np.float64)
+        self.b2 = np.ascontiguousarray(dataset_info["bonds2"], np.float64)
+        self.b3 = np.ascontiguousarray(dataset_info["bonds3"], np.float64)
+        bits, scores = _load_fpscores()
+        self.fp_bits = np.ascontiguousarray(bits, np.uint32)
+        self.fp_scores = np.ascontiguousarray(scores, np.float32)
+
+    def score(self, coords: np.ndarray, types: np.ndarray,
+              mask: np.ndarray, weights) -> tuple:
+        """coords [B,N,3] A, types [B,N], mask [B,N] ->
+        (rewards [B] f32, native [B] bool, terms [B,6] f64)."""
+        B, N = types.shape
+        coords = np.ascontiguousarray(coords, np.float32)
+        types = np.ascontiguousarray(types, np.int32)
+        mask = np.ascontiguousarray(mask, np.uint8)
+        w = np.asarray(list(weights[:6]), np.float64)
+        rewards = np.zeros((B,), np.float32)
+        terms = np.zeros((B, 6), np.float64)
+        native = np.zeros((B,), np.uint8)
+        self.lib.cs_score_batch(
+            coords.reshape(-1), types.reshape(-1), mask.reshape(-1),
+            B, N, self.T, self.elem, self.b1.reshape(-1),
+            self.b2.reshape(-1), self.b3.reshape(-1), self.fp_bits,
+            self.fp_scores, len(self.fp_bits), w, rewards,
+            terms.reshape(-1), native)
+        return rewards, native.astype(bool), terms
 
 
 def available() -> bool:

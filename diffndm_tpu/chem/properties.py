@@ -184,6 +184,54 @@ def _branch_key(mol: Molecule, root: int, banned: int, order: int):
             tuple(sorted(labels.values())))
 
 
+def _cheap_branch_key(mol: Molecule, root: int, banned: int, order: int):
+    """O(|branch|) invariant of the branch: (bond order, size, sorted
+    multiset of (symbol, charge, implicit_h)).  Distinct cheap keys imply
+    distinct full WL keys, so pairwise-distinct cheap keys decide a
+    stereocenter without any WL refinement (the common case)."""
+    comp = []
+    seen = {banned, root}
+    stack = [root]
+    comp.append(root)
+    while stack:
+        u = stack.pop()
+        for v in mol.neighbors[u]:
+            if v not in seen:
+                seen.add(v)
+                comp.append(v)
+                stack.append(v)
+    sig = sorted((mol.symbols[v], mol.charge(v), mol.implicit_h(v))
+                 for v in comp)
+    return (order, len(comp), tuple(sig)), comp
+
+
+def _distinct_branches(mol: Molecule, center: int, roots, extra_h: bool):
+    """True iff all branches from ``center`` are pairwise distinct.
+    Cheap multiset invariants first; full WL only for colliding pairs."""
+    cheap = [_cheap_branch_key(mol, j, center, int(mol.adjacency[center, j]))
+             for j in roots]
+    keys = [c[0] for c in cheap]
+    if extra_h:
+        keys.append(("H",))
+    if len(set(keys)) == len(keys):
+        return True
+    # collision: compare colliding groups with the full WL key
+    groups: dict = {}
+    for idx, k in enumerate(keys):
+        groups.setdefault(k, []).append(idx)
+    for k, idxs in groups.items():
+        if len(idxs) < 2:
+            continue
+        if k == ("H",):
+            return False  # two implicit hydrogens are identical
+        full = [_branch_key(mol, roots[i], center,
+                            int(mol.adjacency[center, roots[i]]))
+                for i in idxs]
+        if len(set(full)) != len(full):
+            return False
+    return True
+
+
 def num_potential_stereocenters(mol: Molecule) -> int:
     """Approximates RDKit ``FindMolChiralCenters(includeUnassigned=True)``:
     atoms whose four substituents (implicit H counts as one) are pairwise
@@ -195,22 +243,16 @@ def num_potential_stereocenters(mol: Molecule) -> int:
         deg = mol.degree(a)
         ih = mol.implicit_h(a)
         if sym in ("P", "As") and deg == 3 and ih == 0:
-            branches = [_branch_key(mol, j, a, int(mol.adjacency[a, j]))
-                        for j in mol.neighbors[a]]
+            if _distinct_branches(mol, a, mol.neighbors[a], False):
+                n_centers += 1
         elif deg + ih == 4 and ih <= 1 and deg >= 3:
             if sym not in ("C", "Si", "N", "P", "S"):
                 continue
             # only charged (quaternary) N is configurationally stable
             if sym == "N" and mol.charge(a) <= 0:
                 continue
-            branches = [_branch_key(mol, j, a, int(mol.adjacency[a, j]))
-                        for j in mol.neighbors[a]]
-            if ih == 1:
-                branches.append(("H",))
-        else:
-            continue
-        if len(set(branches)) == len(branches):
-            n_centers += 1
+            if _distinct_branches(mol, a, mol.neighbors[a], ih == 1):
+                n_centers += 1
     return n_centers
 
 

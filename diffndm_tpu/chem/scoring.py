@@ -138,6 +138,49 @@ class VinaScorer:
         return inter / (1.0 + W_NROT * n_rot)
 
 
+def calibrate_against_smina(receptor_pdb: str, sdf_paths: Sequence[str]
+                            ) -> dict:
+    """Fit per-term scales of the native scoring function against smina
+    ``--score_only`` affinities (VERDICT r2 item 8 scaffolding).
+
+    Requires the smina binary (chem/docking.py); raises
+    DockingUnavailable otherwise.  Returns
+    ``{"weights": {term: w}, "nrot_w": w, "r2": float, "n": int}`` from a
+    least-squares fit of ``affinity * (1 + w_rot * n_rot) ~= sum_k w_k
+    term_k`` over the given ligand poses.  Until a calibration has been
+    run on a machine with the binaries, native scores carry the published
+    Trott-Olson weights and are labeled UNCALIBRATED in evaluate output.
+    """
+    from diffndm_tpu.chem.descriptors import num_rotatable_bonds
+    from diffndm_tpu.chem.docking import smina_score
+    from diffndm_tpu.chem.io import read_sdf
+
+    scorer = VinaScorer.from_pdb(receptor_pdb)
+    terms, y = [], []
+    names = ("gauss1", "gauss2", "repulsion", "hydrophobic", "hbond")
+    affinities = smina_score(list(sdf_paths), receptor_pdb)
+    for path, aff in zip(sdf_paths, affinities):
+        if not np.isfinite(aff):
+            continue
+        for mol in read_sdf(path):
+            t = scorer.interaction_terms(mol)
+            n_rot = num_rotatable_bonds(mol)
+            terms.append([t[k] for k in names])
+            y.append(aff * (1.0 + W_NROT * n_rot))
+            break  # smina reports the first pose per file
+    if len(y) < len(names):
+        raise ValueError(f"need >= {len(names)} scored poses, "
+                         f"got {len(y)}")
+    A = np.asarray(terms, float)
+    yv = np.asarray(y, float)
+    w, *_ = np.linalg.lstsq(A, yv, rcond=None)
+    pred = A @ w
+    ss_res = float(((yv - pred) ** 2).sum())
+    ss_tot = float(((yv - yv.mean()) ** 2).sum()) or 1.0
+    return {"weights": dict(zip(names, w.tolist())), "nrot_w": W_NROT,
+            "r2": 1.0 - ss_res / ss_tot, "n": len(y)}
+
+
 def vina_score_like(mols: Sequence[Molecule], receptor_pdb: str
                     ) -> List[float]:
     """Affinity estimates for a list of molecules against a receptor PDB

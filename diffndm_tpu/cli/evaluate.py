@@ -89,6 +89,10 @@ def main(argv=None):
         from diffndm_tpu.chem.scoring import VinaScorer
 
         scorer = VinaScorer.from_pdb(args.receptor)
+        print("[evaluate] native Vina-style rescoring (Trott-Olson "
+              "published weights, UNCALIBRATED vs smina — run "
+              "chem.scoring.calibrate_against_smina on a machine with "
+              "the binaries to fit per-term scales)")
 
     all_rows, lines = [], []
     for path in paths:

@@ -52,6 +52,17 @@ class RewardOracle:
             num_workers = int(os.environ.get("DIFFNDM_ORACLE_WORKERS", 0))
         self.num_workers = num_workers
         self._pool = None
+        # native one-call-per-batch scorer (native/chemscore.cpp):
+        # bitwise-identical to the Python pipeline (test_native_oracle),
+        # ~20x faster.  DIFFNDM_NO_NATIVE_ORACLE=1 forces pure Python.
+        self.native = None
+        if os.environ.get("DIFFNDM_NO_NATIVE_ORACLE") != "1":
+            try:
+                from diffndm_tpu.chem.native import NativeScorer
+
+                self.native = NativeScorer(dataset_info)
+            except Exception:
+                self.native = None
         # optional receptor for the affinity reward term (w_vina)
         self.scorer = None
         # invalid-molecule accounting: invalid latents are EXPECTED during
@@ -106,6 +117,21 @@ class RewardOracle:
         types = np.asarray(h).argmax(-1)
         mask = np.asarray(mask) > 0.5
         out = np.zeros(coords.shape[0], dtype=np.float32)
+        if self.native is not None and w_vina == 0:
+            rewards, nat_ok, terms = self.native.score(
+                coords, types, mask, weights[:6])
+            self.n_scored += int(nat_ok.sum())
+            self.n_invalid += int((nat_ok & (terms[:, 0] == 0)).sum())
+            if nat_ok.all():
+                return rewards
+            # rows the native code flagged (>64-bond molecules) go through
+            # the Python pipeline
+            out[nat_ok] = rewards[nat_ok]
+            for b in np.where(~nat_ok)[0]:
+                out[b] = self._score_one(
+                    coords[b][mask[b]], types[b][mask[b]], w_qed, w_sa,
+                    w_lip, logp_k, logp_lo, logp_hi, w_vina)
+            return out
         items = [(coords[b][mask[b]], types[b][mask[b]])
                  for b in range(coords.shape[0])]
         if self.num_workers > 1 and len(items) >= 8:
