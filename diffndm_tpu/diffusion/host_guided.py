@@ -184,6 +184,15 @@ class HostGuidedSampler:
 
         return jax.jit(fn)
 
+    @staticmethod
+    def _compact(z, n_dims=3):
+        """Split latents into the compact scoring view the host needs:
+        (coords f32, argmax types int8).  4x fewer device->host bytes
+        than fetching full latents; rewards are bitwise identical (the
+        host's first scoring step is this argmax anyway)."""
+        return (z[..., :n_dims],
+                jnp.argmax(z[..., n_dims:], axis=-1).astype(jnp.int8))
+
     def _atp_candidates(self, timesteps: int, g_extra: int):
         core = self.core
 
@@ -211,7 +220,13 @@ class HostGuidedSampler:
                                   eps_fn)
 
             z0_groups = jax.lax.map(lookahead, (z_groups, xh_groups))
-            return z_groups, xh_groups, z0_groups
+            # z0 is only ever host-scored: ship the compact view; stack
+            # the z view alongside so one fetch covers both rewards
+            zx, zt = self._compact(z_groups)
+            z0x, z0t = self._compact(z0_groups)
+            score_x = jnp.stack([zx, z0x])
+            score_t = jnp.stack([zt, z0t])
+            return z_groups, xh_groups, score_x, score_t
 
         return jax.jit(fn)
 
@@ -261,7 +276,9 @@ class HostGuidedSampler:
 
     def _lookahead_groups(self, timesteps: int):
         """x0 projection of a [G, B, ...] candidate stack (one jitted
-        dispatch), for the hybrid event's mixed reward."""
+        dispatch), for the hybrid event's mixed reward.  Returns compact
+        scoring views of BOTH the z stack and its x0 lookahead — the
+        host only ever scores them."""
         core = self.core
 
         def fn(params, z_groups, xh_groups, lig_mask, pocket_mask, s):
@@ -273,7 +290,10 @@ class HostGuidedSampler:
                 return core.to_x0(zz, xx, t_norm, lig_mask, pocket_mask,
                                   eps_fn)
 
-            return jax.lax.map(one, (z_groups, xh_groups))
+            z0_groups = jax.lax.map(one, (z_groups, xh_groups))
+            zx, zt = self._compact(z_groups)
+            z0x, z0t = self._compact(z0_groups)
+            return jnp.stack([zx, z0x]), jnp.stack([zt, z0t])
 
         return jax.jit(fn)
 
@@ -306,11 +326,12 @@ class HostGuidedSampler:
 
                 z_pm = jnp.concatenate([shift(1.0), shift(-1.0)], axis=0)
                 z0 = core.to_x0(z_pm, xh2, t2, lm2, pm2, eps_fn)
-                return pert, z0
+                return pert, self._compact(z0, n_dims)
 
-            perts, z0s = jax.lax.map(one, jax.random.split(key,
-                                                           num_probes))
-            return perts, z0s  # [k, B, NL, 3], [k, 2B, NL, D]
+            perts, (z0x, z0t) = jax.lax.map(
+                one, jax.random.split(key, num_probes))
+            # [k, B, NL, 3], [k, 2B, NL, 3] f32, [k, 2B, NL] int8
+            return perts, z0x, z0t
 
         return jax.jit(fn)
 
@@ -349,20 +370,20 @@ class HostGuidedSampler:
         return jax.jit(fn)
 
     # -- host reward helpers -------------------------------------------
-    def _svdd_rewards_np(self, z_flat, lig_mask_flat):
+    def _svdd_rewards_xt(self, x_flat, t_flat, lig_mask_flat):
         nx = self.core.cfg.norm_values[0]
         c = self.cfg.atp
         w = (c.w_qed, c.w_sa, c.w_lipinski, c.logp_k, c.logp_lo, c.logp_hi)
-        return self.oracle.score_batch_host(
-            np.asarray(z_flat[..., :3]) * nx, np.asarray(z_flat[..., 3:]),
+        return self.oracle.score_batch_types(
+            np.asarray(x_flat) * nx, np.asarray(t_flat),
             np.asarray(lig_mask_flat), w)
 
-    def _spsa_rewards_np(self, z_flat, lig_mask_flat):
+    def _spsa_rewards_xt(self, x_flat, t_flat, lig_mask_flat):
         nx = self.core.cfg.norm_values[0]
         c = self.cfg.spsa
         w = (c.w_qed, c.w_sa, c.w_lipinski, 0.0, 0.0, 0.0)
-        return self.oracle.score_batch_host(
-            np.asarray(z_flat[..., :3]) * nx, np.asarray(z_flat[..., 3:]),
+        return self.oracle.score_batch_types(
+            np.asarray(x_flat) * nx, np.asarray(t_flat),
             np.asarray(lig_mask_flat), w)
 
     def _mixed_reward(self, r_x0, r_z, s):
@@ -386,17 +407,19 @@ class HostGuidedSampler:
         b = z.shape[0]
         k = cfg.num_probes
         with self.prof.phase("spsa.probe") as _:
-            perts, z0s = probe(params, key, z, xh_p, lig_mask, pocket_mask,
-                               jnp.asarray(s), jnp.asarray(zeta))
-            self.prof.block(z0s)
-        # one host scoring pass over all k*2B decodes
+            perts, z0x, z0t = probe(params, key, z, xh_p, lig_mask,
+                                    pocket_mask, jnp.asarray(s),
+                                    jnp.asarray(zeta))
+            self.prof.block(z0t)
+        # one host scoring pass over all k*2B decodes (compact views)
         with self.prof.phase("spsa.fetch"):
-            z0_np = np.asarray(z0s)
+            x_np, t_np = np.asarray(z0x), np.asarray(z0t)
             lm_np = np.asarray(lig_mask)
-        z0_flat = z0_np.reshape((k * 2 * b,) + z0s.shape[2:])
+        x_flat = x_np.reshape((k * 2 * b,) + x_np.shape[2:])
+        t_flat = t_np.reshape((k * 2 * b,) + t_np.shape[2:])
         lm_flat = np.tile(lm_np, (k * 2, 1))
         with self.prof.phase("spsa.score"):
-            rewards = self._spsa_rewards_np(z0_flat,
+            rewards = self._spsa_rewards_xt(x_flat, t_flat,
                                             lm_flat).reshape(k, 2 * b)
         dd = (rewards[:, :b] - rewards[:, b:]) / (2.0 * ZETA_GRAD_DENOM)
         with self.prof.phase("spsa.apply") as _:
@@ -416,19 +439,19 @@ class HostGuidedSampler:
                                  cfg.num_groups - 1))
         select = self._get("atp_select", self._atp_select)
         with self.prof.phase("atp.cand"):
-            z_groups, xh_groups, z0_groups = cand(
+            z_groups, xh_groups, score_x, score_t = cand(
                 params, key, z, xh_p, lig_mask, pocket_mask,
                 jnp.asarray(s))
-            self.prof.block(z0_groups)
+            self.prof.block(score_t)
         g, b = z_groups.shape[0], z_groups.shape[1]
         with self.prof.phase("atp.fetch"):
-            zg_np, z0g_np = np.asarray(z_groups), np.asarray(z0_groups)
+            sx, st = np.asarray(score_x), np.asarray(score_t)
             lm_np = np.asarray(lig_mask)
         lm_f = np.tile(lm_np, (g, 1))
         flat = lambda a: a.reshape((g * b,) + a.shape[2:])
         with self.prof.phase("atp.score"):
-            r_z = self._svdd_rewards_np(flat(zg_np), lm_f)
-            r_x0 = self._svdd_rewards_np(flat(z0g_np), lm_f)
+            r_z = self._svdd_rewards_xt(flat(sx[0]), flat(st[0]), lm_f)
+            r_x0 = self._svdd_rewards_xt(flat(sx[1]), flat(st[1]), lm_f)
         mixed = jnp.asarray(self._mixed_reward(r_x0, r_z, float(s)))
         with self.prof.phase("atp.select"):
             out = select(z_groups, xh_groups, mixed, lig_mask, pocket_mask)
@@ -465,18 +488,18 @@ class HostGuidedSampler:
         look = self._get(("hybrid_look", timesteps),
                          partial(self._lookahead_groups, timesteps))
         with self.prof.phase("hyb.look"):
-            z0_groups = look(params, z_groups, xh_groups, lig_mask,
-                             pocket_mask, jnp.asarray(s))
-            self.prof.block(z0_groups)
+            score_x, score_t = look(params, z_groups, xh_groups, lig_mask,
+                                    pocket_mask, jnp.asarray(s))
+            self.prof.block(score_t)
         g, b = z_groups.shape[0], z_groups.shape[1]
         with self.prof.phase("hyb.fetch"):
-            zg_np, z0g_np = np.asarray(z_groups), np.asarray(z0_groups)
+            sx, st = np.asarray(score_x), np.asarray(score_t)
             lm_np = np.asarray(lig_mask)
         lm_f = np.tile(lm_np, (g, 1))
         flat = lambda a: a.reshape((g * b,) + a.shape[2:])
         with self.prof.phase("hyb.score"):
-            r_z = self._svdd_rewards_np(flat(zg_np), lm_f)
-            r_x0 = self._svdd_rewards_np(flat(z0g_np), lm_f)
+            r_z = self._svdd_rewards_xt(flat(sx[0]), flat(st[0]), lm_f)
+            r_x0 = self._svdd_rewards_xt(flat(sx[1]), flat(st[1]), lm_f)
         mixed = jnp.asarray(self._mixed_reward(r_x0, r_z, float(s)))
         select = self._get("atp_select", self._atp_select)
         with self.prof.phase("hyb.select"):

@@ -111,10 +111,19 @@ class RewardOracle:
                          mask: np.ndarray, weights: tuple) -> np.ndarray:
         """coords [B,N,3], h [B,N,F] (one-hot or logits), mask [B,N]
         -> rewards [B] float32."""
+        return self.score_batch_types(coords, np.asarray(h).argmax(-1),
+                                      mask, weights)
+
+    def score_batch_types(self, coords: np.ndarray, types: np.ndarray,
+                          mask: np.ndarray, weights: tuple) -> np.ndarray:
+        """Same as score_batch_host but with atom-type indices instead of
+        one-hot features — lets device code fetch int8 argmax types
+        (4x fewer device->host bytes through the axon tunnel, identical
+        rewards: the first scoring step is this argmax either way)."""
         w_qed, w_sa, w_lip, logp_k, logp_lo, logp_hi = weights[:6]
         w_vina = weights[6] if len(weights) > 6 else 0.0
         coords = np.asarray(coords)
-        types = np.asarray(h).argmax(-1)
+        types = np.asarray(types)
         mask = np.asarray(mask) > 0.5
         out = np.zeros(coords.shape[0], dtype=np.float32)
         if self.native is not None and w_vina == 0:
