@@ -1,0 +1,153 @@
+"""Guided vs unguided quality with a trained checkpoint (VERDICT r2 #3).
+
+Loads a checkpoint trained on the virtual-pocket set
+(configs/virtual_cond.yml), samples ligands for held-out test pockets
+unguided and with SPSA+ATP guidance, scores both with the real chemistry
+oracle, and prints a comparison table.  The reference's headline result
+is QED 0.490 -> 0.578 and SA 0.626 -> 0.771 under the same guidance
+(BASELINE.md table 4-1, result/cond_t.png); the demo reproduces the
+*direction* of that lift end-to-end on TPU.
+
+Usage:
+  python scripts/guided_lift_eval.py --run runs/virtual_cond \
+      [--ckpt best|last] [--n_pockets 8] [--n_samples 16] [--T 500] \
+      [--json OUT.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--run", default="runs/virtual_cond")
+    ap.add_argument("--ckpt", default="best")
+    ap.add_argument("--data", default="data/processed/virtual/test.npz")
+    ap.add_argument("--n_pockets", type=int, default=8)
+    ap.add_argument("--n_samples", type=int, default=16,
+                    help="ligands per pocket (batch rows)")
+    ap.add_argument("--T", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from diffndm_tpu.config import (ATPConfig, SampleConfig, SPSAConfig,
+                                    load_yaml, model_config_from_yaml)
+    from diffndm_tpu.data.dataset import ProcessedLigandPocketDataset
+    from diffndm_tpu.model import DiffNDM
+    from diffndm_tpu.structs import NodeBatch
+
+    raw = load_yaml(os.path.join(args.run, "hparams.yaml"))
+    mcfg = model_config_from_yaml(raw)
+    model = DiffNDM(mcfg)
+    ckpt = os.path.join(args.run, args.ckpt)
+    if not os.path.isdir(ckpt):
+        ckpt = os.path.join(args.run, "last")
+    # the trainer checkpoint carries {params, step}
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(ckpt),
+        jax.device_get({"params": model.params, "step": 0}))
+    model.set_params(restored["params"])
+    print(f"loaded {ckpt} (step {restored['step']})")
+
+    ds = ProcessedLigandPocketDataset(args.data)
+    rng = np.random.default_rng(args.seed)
+    picks = rng.choice(len(ds.pairs), size=min(args.n_pockets,
+                                               len(ds.pairs)),
+                       replace=False)
+
+    gcfg = SampleConfig(spsa=SPSAConfig(enabled=True),
+                        atp=ATPConfig(enabled=True))
+    guided_model = DiffNDM(mcfg, sample_cfg=gcfg)
+    guided_model.set_params(model.params)
+
+    def eval_mode(m, label, key):
+        from diffndm_tpu.chem.bonds import build_molecules_batch
+        from diffndm_tpu.chem.metrics import MoleculeProperties
+        from diffndm_tpu.chem.sanitize import SanitizeError, sanitize
+
+        props = MoleculeProperties()
+        rows, n_tot = [], 0
+        for pi in picks:
+            pair = ds.pairs[int(pi)]
+            npk = len(pair.pocket_coords)
+            npad = -(-npk // 16) * 16
+            # drop the padding feature columns exactly like BucketedLoader
+            # (train-time collate) does
+            nf = mcfg.residue_nf
+            px = np.zeros((args.n_samples, npad, 3), np.float32)
+            ph = np.zeros((args.n_samples, npad, nf), np.float32)
+            pm = np.zeros((args.n_samples, npad), np.float32)
+            px[:, :npk] = pair.pocket_coords
+            ph[:, :npk] = pair.pocket_one_hot[:, :nf]
+            pm[:, :npk] = 1.0
+            pocket = NodeBatch(x=px, h=ph, mask=pm)
+            key, k_n, k_s = jax.random.split(key, 3)
+            sizes = np.asarray(m.size_distribution.sample_conditional(
+                k_n, n2=np.full(args.n_samples, npk)))
+            sizes = np.maximum(sizes, 4)
+            res = m.sampler.sample_given_pocket(k_s, pocket, sizes,
+                                                timesteps=args.T)
+            lig = res.ligand
+            mols = build_molecules_batch(np.asarray(lig.x),
+                                         np.asarray(lig.h).argmax(-1),
+                                         np.asarray(lig.mask),
+                                         m.dataset_info)
+            for mol in mols:
+                n_tot += 1
+                try:
+                    sanitize(mol)
+                except SanitizeError:
+                    continue
+                rows.append((props.calculate_qed(mol),
+                             props.calculate_sa(mol),
+                             props.calculate_logp(mol),
+                             props.calculate_lipinski(mol)))
+        arr = np.asarray(rows, float) if rows else np.zeros((0, 4))
+        out = {
+            "mode": label,
+            "n": int(n_tot),
+            "valid": len(rows) / max(n_tot, 1),
+            "qed": float(arr[:, 0].mean()) if len(rows) else 0.0,
+            "sa": float(arr[:, 1].mean()) if len(rows) else 0.0,
+            "logp": float(arr[:, 2].mean()) if len(rows) else 0.0,
+            "lipinski": float(arr[:, 3].mean()) if len(rows) else 0.0,
+        }
+        print("%-9s n=%3d valid=%.3f QED=%.3f SA=%.3f LogP=%.3f "
+              "Lip=%.2f" % (label, out["n"], out["valid"], out["qed"],
+                            out["sa"], out["logp"], out["lipinski"]),
+              flush=True)
+        return out
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    k_u, k_g = jax.random.split(key)
+    unguided = eval_mode(model, "unguided", k_u)
+    guided = eval_mode(guided_model, "SPSA+ATP", k_g)
+    result = {"unguided": unguided, "guided": guided,
+              "qed_lift": guided["qed"] - unguided["qed"],
+              "sa_lift": guided["sa"] - unguided["sa"],
+              "ckpt": ckpt, "T": args.T,
+              "n_pockets": len(picks), "n_samples": args.n_samples}
+    print(json.dumps({k: result[k] for k in
+                      ("qed_lift", "sa_lift")}))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
