@@ -21,6 +21,15 @@ Two kernels:
                       MLP of EquivariantUpdate.
 
 Both support interpret mode for CPU tests.
+
+STATUS (round-2 hardware measurement, NOTES_NEXT_ROUND.md): at the
+flagship shapes (N=344, H=256) these kernels LOSE to XLA's fused dense
+path — 0.226-0.283 vs 0.333 lig/s — because the f32 z-chain widening
+doubles VPU cost, and the bf16-z variant trips Mosaic verifier bugs.
+They stay wired behind ``EGNNConfig.use_pallas`` (off by default, with
+an interpret-mode equivalence test) as the starting point for larger
+shapes, where the O(N^2 H) HBM-traffic argument above starts to win;
+re-tune before enabling in production.
 """
 
 from __future__ import annotations

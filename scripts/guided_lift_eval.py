@@ -50,7 +50,10 @@ def main(argv=None):
 
     raw = load_yaml(os.path.join(args.run, "hparams.yaml"))
     mcfg = model_config_from_yaml(raw)
-    model = DiffNDM(mcfg)
+    hist_path = os.path.join(os.path.dirname(args.data),
+                             "size_distribution.npy")
+    hist = np.load(hist_path) if os.path.exists(hist_path) else None
+    model = DiffNDM(mcfg, size_histogram=hist)
     ckpt = os.path.join(args.run, args.ckpt)
     if not os.path.isdir(ckpt):
         ckpt = os.path.join(args.run, "last")
@@ -72,7 +75,7 @@ def main(argv=None):
 
     gcfg = SampleConfig(spsa=SPSAConfig(enabled=True),
                         atp=ATPConfig(enabled=True))
-    guided_model = DiffNDM(mcfg, sample_cfg=gcfg)
+    guided_model = DiffNDM(mcfg, sample_cfg=gcfg, size_histogram=hist)
     guided_model.set_params(model.params)
 
     def eval_mode(m, label, key):

@@ -175,6 +175,15 @@ def main(argv=None):
                  pocket_mask=np.concatenate(poc_m),
                  names=np.array(names))
         print(f"{split}: {len(items)} pairs")
+    # joint (ligand, pocket) size histogram for DistributionNodes — the
+    # train CLI and eval sampling condition ligand sizes on pocket size
+    # through it (process_crossdock.py:229-232 convention)
+    from diffndm_tpu.diffusion.node_distribution import smoothed_histogram
+
+    train_items = splits["train"]
+    hist = smoothed_histogram([len(it[0]) for it in train_items],
+                              [len(it[2]) for it in train_items])
+    np.save(os.path.join(args.out, "size_distribution.npy"), hist)
     print(f"kept {n} / skipped size={n_skip_size} type={n_skip_type} "
           f"invalid={n_skip_invalid}")
 
