@@ -162,6 +162,10 @@ def main():
                                   jnp.zeros((1, np_pad, 13)),
                                   jnp.zeros((1,)), jnp.ones((1, NL)),
                                   jnp.ones((1, np_pad)))
+    # CPU-committed params would be re-uploaded on every host-guided
+    # dispatch (~0.5 s each through the tunnel); move them once
+    from diffndm_tpu.model import _to_default_device
+    params = _to_default_device(params)
     core = CondDiffusion(S.make_schedule("polynomial_2", 500, 5e-4),
                          DiffusionConfig(timesteps=500), atom_nf, atom_nf)
     DP = dataset_params["crossdock_full"]

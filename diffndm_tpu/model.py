@@ -35,6 +35,32 @@ from diffndm_tpu.models.dynamics import EGNNDynamics
 from diffndm_tpu.structs import NodeBatch, to_lists
 
 
+def _to_default_device(params):
+    """Move CPU-committed parameters to the default accelerator once.
+
+    Parameters are initialised (or orbax-restored) on the CPU to avoid a
+    device compile of the init program, but a CPU-committed array is
+    re-transferred on EVERY jitted call that takes it as an argument.
+    The fused sampler pays that once per trajectory; the host-orchestrated
+    guided loop dispatches ~50 jitted calls per trajectory, and on a
+    link-limited PJRT attachment (~24 MB/s axon tunnel) each re-upload of
+    the ~6 MB tree cost ~0.5 s — the dominant guided-overhead term until
+    round 3.  Sharded / already-on-device trees pass through untouched.
+    """
+    default = jax.devices()[0]
+    if default.platform == "cpu":
+        return params
+
+    def move(x):
+        if isinstance(x, jax.Array) and not x.is_deleted():
+            devs = x.devices()
+            if len(devs) == 1 and next(iter(devs)).platform == "cpu":
+                return jax.device_put(x, default)
+        return x
+
+    return jax.tree_util.tree_map(move, params)
+
+
 class DiffNDM:
     def __init__(self, model_cfg: ModelConfig,
                  sample_cfg: Optional[SampleConfig] = None,
@@ -66,7 +92,7 @@ class DiffNDM:
                     jnp.zeros((1, npk, 3 + model_cfg.residue_nf)),
                     jnp.zeros((1,)), jnp.ones((1, nl)),
                     jnp.ones((1, npk)))
-        self.params = params
+        self.params = _to_default_device(params)
 
         d = model_cfg.diffusion
         if d.noise_schedule == "learned":
@@ -124,6 +150,7 @@ class DiffNDM:
         return cls(model_config_from_yaml(load_yaml(path)), **kw)
 
     def set_params(self, params) -> None:
+        params = _to_default_device(params)
         self.params = params
         samplers = [self.sampler, self.inpaint_sampler,
                     self.diversify_sampler]
