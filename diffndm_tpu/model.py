@@ -186,6 +186,13 @@ class DiffNDM:
         tile = min(row_tile or eg.row_tile, eg.row_tile)
         w = 2 * hw + tile + margin
         w = -(-w // 16) * 16
+        # DIFFNDM_BAND_APPROX=W caps the window regardless of the exact
+        # bound — an opt-in speed knob trading provable losslessness for
+        # throughput (round-3 measured numbers in NOTES_NEXT_ROUND.md);
+        # exact stays the default
+        approx = int(os.environ.get("DIFFNDM_BAND_APPROX", 0))
+        if approx > 0:
+            w = min(w, -(-approx // 16) * 16)
         np_total = pocket.x.shape[1]
         if w >= np_total:
             if eg.band_window is not None:
