@@ -140,3 +140,27 @@ def test_matching_determinism_shared():
                                   (5, 0), (4, 6), (6, 7), (7, 8), (8, 9),
                                   (9, 5)])
     assert (m == m2).all()
+
+
+def test_oversized_molecule_falls_back_to_python():
+    """Molecules beyond the native scorer's bounds (n > 60) are flagged
+    and routed through the Python pipeline by RewardOracle — the public
+    reward is identical either way."""
+    _native_scorer()
+    from diffndm_tpu.guidance.oracle import RewardOracle
+
+    n = 70
+    coords = np.zeros((1, n, 3), np.float32)
+    coords[0, :, 0] = np.arange(n) * 1.52  # long valid carbon chain
+    types = np.zeros((1, n), np.int64)
+    mask = np.ones((1, n), np.float32)
+    onehot = np.eye(len(ENC), dtype=np.float32)[types]
+    oracle = RewardOracle(DI)
+    if oracle.native is None:
+        pytest.skip("native scorer not active")
+    _, nat_ok, _ = oracle.native.score(coords, types, mask, WEIGHTS)
+    assert not nat_ok[0]
+    r_mixed = oracle.score_batch_host(coords, onehot, mask, WEIGHTS)
+    oracle.native = None
+    r_py = oracle.score_batch_host(coords, onehot, mask, WEIGHTS)
+    np.testing.assert_array_equal(r_mixed, r_py)
