@@ -164,8 +164,8 @@ def main():
                                   jnp.ones((1, np_pad)))
     # CPU-committed params would be re-uploaded on every host-guided
     # dispatch (~0.5 s each through the tunnel); move them once
-    from diffndm_tpu.model import _to_default_device
-    params = _to_default_device(params)
+    from diffndm_tpu.model import to_default_device
+    params = to_default_device(params)
     core = CondDiffusion(S.make_schedule("polynomial_2", 500, 5e-4),
                          DiffusionConfig(timesteps=500), atom_nf, atom_nf)
     DP = dataset_params["crossdock_full"]

@@ -675,22 +675,3 @@ _ALERT_CLASSES = (
 )
 
 
-def _longest_ch2_run(mol: Molecule) -> int:
-    best = 0
-    for start in range(mol.n_atoms):
-        if not _is_ch2(mol, start):
-            continue
-        # simple DFS along CH2 chains
-        stack = [(start, {start}, 1)]
-        while stack:
-            u, seen, depth = stack.pop()
-            best = max(best, depth)
-            for v in mol.neighbors[u]:
-                if v not in seen and _is_ch2(mol, v):
-                    stack.append((v, seen | {v}, depth + 1))
-    return best
-
-
-def _is_ch2(mol, i):
-    return (mol.symbols[i] == "C" and not mol.is_aromatic_atom(i)
-            and mol.implicit_h(i) == 2 and not mol.ring_membership[i])

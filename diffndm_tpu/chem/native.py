@@ -27,9 +27,11 @@ def load(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     path = _lib_path()
-    src = os.path.join(os.path.dirname(path), "chemgraph.cpp")
-    stale = (os.path.exists(path) and os.path.exists(src)
-             and os.path.getmtime(src) > os.path.getmtime(path))
+    srcs = [os.path.join(os.path.dirname(path), f)
+            for f in ("chemgraph.cpp", "chemscore.cpp", "build.sh")]
+    stale = os.path.exists(path) and any(
+        os.path.exists(s) and os.path.getmtime(s) > os.path.getmtime(path)
+        for s in srcs)
     if (not os.path.exists(path) or stale) and build_if_missing:
         script = os.path.join(os.path.dirname(path), "build.sh")
         try:

@@ -151,22 +151,25 @@ def _fragment_score(mol: Molecule):
     return float((vals * cnt).sum() / cnt.sum()), len(fps)
 
 
-def _branch_key(mol: Molecule, root: int, banned: int, order: int):
+def _branch_key(mol: Molecule, root: int, banned: int, order: int,
+                comp=None):
     """Canonical identity of the branch reachable from ``root`` without
     passing through ``banned`` (WL refinement), tagged with the
     root-to-center bond order — used to compare substituents for potential
-    stereocenters the way CIP ranks do."""
-    comp = []
-    seen = {banned, root}
-    stack = [root]
-    comp.append(root)
-    while stack:
-        u = stack.pop()
-        for v in mol.neighbors[u]:
-            if v not in seen:
-                seen.add(v)
-                comp.append(v)
-                stack.append(v)
+    stereocenters the way CIP ranks do.  ``comp`` may carry the branch's
+    pre-collected atom list (from _cheap_branch_key)."""
+    if comp is None:
+        comp = []
+        seen = {banned, root}
+        stack = [root]
+        comp.append(root)
+        while stack:
+            u = stack.pop()
+            for v in mol.neighbors[u]:
+                if v not in seen:
+                    seen.add(v)
+                    comp.append(v)
+                    stack.append(v)
     labels = {v: hash((mol.symbols[v], mol.charge(v), mol.implicit_h(v)))
               for v in comp}
     in_comp = set(comp)
@@ -208,24 +211,26 @@ def _cheap_branch_key(mol: Molecule, root: int, banned: int, order: int):
 def _distinct_branches(mol: Molecule, center: int, roots, extra_h: bool):
     """True iff all branches from ``center`` are pairwise distinct.
     Cheap multiset invariants first; full WL only for colliding pairs."""
-    cheap = [_cheap_branch_key(mol, j, center, int(mol.adjacency[center, j]))
+    cheap = [_cheap_branch_key(mol, j, center,
+                               int(mol.adjacency[center, j]))
              for j in roots]
     keys = [c[0] for c in cheap]
+    comps = [c[1] for c in cheap]
     if extra_h:
         keys.append(("H",))
     if len(set(keys)) == len(keys):
         return True
-    # collision: compare colliding groups with the full WL key
+    # collision: compare colliding groups with the full WL key (reusing
+    # the component each cheap key already collected)
     groups: dict = {}
-    for idx, k in enumerate(keys):
+    for idx, k in enumerate(keys[:len(roots)]):
         groups.setdefault(k, []).append(idx)
     for k, idxs in groups.items():
         if len(idxs) < 2:
             continue
-        if k == ("H",):
-            return False  # two implicit hydrogens are identical
         full = [_branch_key(mol, roots[i], center,
-                            int(mol.adjacency[center, roots[i]]))
+                            int(mol.adjacency[center, roots[i]]),
+                            comp=comps[i])
                 for i in idxs]
         if len(set(full)) != len(full):
             return False

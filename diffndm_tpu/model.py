@@ -35,7 +35,7 @@ from diffndm_tpu.models.dynamics import EGNNDynamics
 from diffndm_tpu.structs import NodeBatch, to_lists
 
 
-def _to_default_device(params):
+def to_default_device(params):
     """Move CPU-committed parameters to the default accelerator once.
 
     Parameters are initialised (or orbax-restored) on the CPU to avoid a
@@ -92,7 +92,7 @@ class DiffNDM:
                     jnp.zeros((1, npk, 3 + model_cfg.residue_nf)),
                     jnp.zeros((1,)), jnp.ones((1, nl)),
                     jnp.ones((1, npk)))
-        self.params = _to_default_device(params)
+        self.params = to_default_device(params)
 
         d = model_cfg.diffusion
         if d.noise_schedule == "learned":
@@ -150,7 +150,7 @@ class DiffNDM:
         return cls(model_config_from_yaml(load_yaml(path)), **kw)
 
     def set_params(self, params) -> None:
-        params = _to_default_device(params)
+        params = to_default_device(params)
         self.params = params
         samplers = [self.sampler, self.inpaint_sampler,
                     self.diversify_sampler]
@@ -190,7 +190,7 @@ class DiffNDM:
         # bound — an opt-in speed knob trading provable losslessness for
         # throughput (round-3 measured numbers in NOTES_NEXT_ROUND.md);
         # exact stays the default
-        approx = int(os.environ.get("DIFFNDM_BAND_APPROX", 0))
+        approx = int(os.environ.get("DIFFNDM_BAND_APPROX") or 0)
         if approx > 0:
             w = min(w, -(-approx // 16) * 16)
         np_total = pocket.x.shape[1]

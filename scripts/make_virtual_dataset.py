@@ -94,7 +94,8 @@ def main(argv=None):
     ap.add_argument("--val_frac", type=float, default=0.05)
     ap.add_argument("--test_frac", type=float, default=0.05)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--require_valid", action="store_true", default=True)
+    ap.add_argument("--require_valid",
+                    action=argparse.BooleanOptionalAction, default=True)
     args = ap.parse_args(argv)
 
     from diffndm_tpu.chem.bonds import build_molecule
