@@ -203,3 +203,37 @@ def test_ensure_band_revalidates_per_pocket():
         assert model.cfg.egnn.band_window is None
     # the easy pocket still validates under the new state
     assert model.ensure_band_for(easy) >= 0
+
+
+def test_band_approx_env_caps_window(monkeypatch):
+    """DIFFNDM_BAND_APPROX caps the auto window below the exact bound
+    (opt-in speed knob, round-3 measured in NOTES_NEXT_ROUND.md); empty
+    string behaves as unset."""
+    import jax
+
+    from diffndm_tpu.config import (DiffusionConfig, EGNNConfig,
+                                    ModelConfig)
+    from diffndm_tpu.model import DiffNDM
+    from diffndm_tpu.structs import NodeBatch
+
+    rng = np.random.default_rng(6)
+    cfg = ModelConfig(
+        egnn=EGNNConfig(hidden_nf=16, joint_nf=8, n_layers=1,
+                        inv_sublayers=1, attention=False,
+                        reflection_equivariant=True, row_tile=8),
+        diffusion=DiffusionConfig(timesteps=6))
+    model = DiffNDM(cfg)
+    x = rng.normal(size=(1, 128, 3)).astype(np.float32)
+    x[..., 0] *= 12.0
+    x[..., 1:] *= 2.0
+    pocket = NodeBatch(
+        x=jnp.asarray(x),
+        h=jnp.asarray(np.eye(10, dtype=np.float32)[
+            rng.integers(0, 4, (1, 128))]),
+        mask=jnp.ones((1, 128)))
+    monkeypatch.setenv("DIFFNDM_BAND_APPROX", "")
+    w_exact = model.enable_banding(pocket)
+    assert w_exact > 32
+    monkeypatch.setenv("DIFFNDM_BAND_APPROX", "32")
+    w_capped = model.enable_banding(pocket)
+    assert w_capped == 32
