@@ -87,6 +87,7 @@ def main(argv=None):
         aux_schedule=lp.get("schedule", "linear"),
         aux_clamp_lj=float(lp.get("clamp_lj", 3.0)),
         eval_epochs=int(raw.get("eval_epochs", 50)),
+        ema_decay=float(raw.get("ema_decay", 0.0)),
     )
     datadir = raw["datadir"]
     outdir = raw.get("logdir", "runs") + "/" + raw.get("run_name", "run")
@@ -134,7 +135,10 @@ def main(argv=None):
                                            "receptor_pdb"))
 
     def current_dynamics_params():
-        params = jax.device_get(trainer.state.params)
+        # sample/eval from the EMA weights when enabled
+        params = jax.device_get(trainer.state.ema_params
+                                if tcfg.ema_decay > 0.0
+                                else trainer.state.params)
         return params["dynamics"] if gamma_module is not None else params
 
     key = jax.random.PRNGKey(tcfg.seed)

@@ -38,6 +38,18 @@ class EGNNConfig:
     mode: str = "egnn_dynamics"  # 'egnn_dynamics' | 'gnn_dynamics'
     # TPU-specific: nodes processed per message-passing row tile.
     row_tile: int = 64
+    # Fully unroll the row-tile scans (lax.scan(unroll=True)).  Runtime
+    # default is the rolled loop (compiles fast, identical math); the
+    # FLOPs counter (utils/flops.py) sets this because XLA's cost model
+    # counts a While body once, so only an unrolled lowering yields the
+    # true per-forward FLOP count.
+    scan_unroll: bool = False
+    # Rematerialize each EquivariantBlock in the backward pass
+    # (jax.checkpoint): activations of the [B, N, N, hidden] edge tensors
+    # are recomputed instead of stored, cutting training-step HBM from
+    # O(n_layers * N^2 * hidden) to O(N^2 * hidden).  Forward-only cost:
+    # none; training cost: ~1 extra forward per block.
+    remat: bool = False
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     # Fused Pallas message-passing kernels (ops/pallas_egnn.py): the whole
     # edge chain (first-layer add + silu + hidden matmul + attention +
@@ -211,6 +223,11 @@ class TrainConfig:
     aux_clamp_lj: float = 3.0
     eval_epochs: int = 50
     seed: int = 0
+    # exponential moving average of the weights; 0 disables.  The
+    # reference has no EMA (lightning_modules.py keeps raw weights) but
+    # sampling from EMA weights is the standard diffusion-quality lever
+    # and is what the eval/"best" checkpoints should carry.
+    ema_decay: float = 0.0
 
 
 def asdict(cfg) -> dict:
@@ -246,6 +263,7 @@ def model_config_from_yaml(raw: dict) -> ModelConfig:
         edge_cutoff_interaction=eg.get("edge_cutoff_interaction"),
         edge_embedding_dim=eg.get("edge_embedding_dim"),
         update_pocket_coords=raw.get("mode", "pocket_conditioning") == "joint",
+        remat=eg.get("remat", False),
     )
     diffusion = DiffusionConfig(
         timesteps=di.get("diffusion_steps", 500),

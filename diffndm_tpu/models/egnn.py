@@ -344,7 +344,8 @@ class GCL(nn.Module):
                 agg = jnp.sum(m * adj_rows[..., None].astype(dt), axis=2)
                 return None, agg
 
-            _, aggs = jax.lax.scan(body, None, c.row_i0s)
+            _, aggs = jax.lax.scan(body, None, c.row_i0s,
+                                   unroll=True if cfg.scan_unroll else 1)
             parts.append(jnp.moveaxis(aggs, 0, 1).reshape(
                 h.shape[0], c.n_tiles * tile, H))
         agg = jnp.concatenate(parts, axis=1)[:, :n]
@@ -509,7 +510,8 @@ class EquivariantUpdate(nn.Module):
                               axis=2)
                 return None, agg
 
-            _, aggs = jax.lax.scan(body, None, c.row_i0s)
+            _, aggs = jax.lax.scan(body, None, c.row_i0s,
+                                   unroll=True if cfg.scan_unroll else 1)
             parts.append(jnp.moveaxis(aggs, 0, 1).reshape(
                 x.shape[0], c.n_tiles * tile, 3))
         agg = jnp.concatenate(parts, axis=1)[:, :n]
@@ -593,11 +595,17 @@ class EGNN(nn.Module):
             edge_attr0 = jnp.concatenate([edge_attr0, edge_attr], axis=-1)
 
         h = nn.Dense(cfg.hidden_nf, name="embedding")(h)
+        # cfg.remat: recompute each block's [B, N, N, hidden] edge tensors
+        # in the backward pass instead of storing them (training-memory
+        # lever; forward-only sampling is unaffected).  n_lig (last arg)
+        # is a static Python int controlling the banding layout.
+        block_cls = (nn.remat(EquivariantBlock, static_argnums=(8,))
+                     if cfg.remat else EquivariantBlock)
         for i in range(cfg.n_layers):
-            h, x = EquivariantBlock(cfg, edge_nf, coords_range_layer,
-                                    name=f"e_block_{i}")(
+            h, x = block_cls(cfg, edge_nf, coords_range_layer,
+                             name=f"e_block_{i}")(
                 h, x, adj, node_mask, edge_attr0, update_coords_mask,
-                nbr_idx, n_lig=n_lig)
+                nbr_idx, n_lig)
         h = nn.Dense(self.out_node_nf, name="embedding_out")(h)
         return h * node_mask[..., None].astype(h.dtype), x
 

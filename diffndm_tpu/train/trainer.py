@@ -43,6 +43,8 @@ class TrainState(NamedTuple):
     # adaptive-clip circular buffer of accepted grad norms
     gradnorm_buf: jnp.ndarray   # [QUEUE_LEN]
     gradnorm_count: jnp.ndarray  # how many entries are valid
+    # EMA of params (equals params when cfg.ema_decay == 0)
+    ema_params: Any = None
 
 
 def make_optimizer(cfg: TrainConfig):
@@ -89,7 +91,8 @@ class Trainer:
         state = TrainState(params=params, opt_state=self.tx.init(params),
                            step=jnp.zeros((), jnp.int32),
                            gradnorm_buf=buf,
-                           gradnorm_count=jnp.ones((), jnp.int32))
+                           gradnorm_count=jnp.ones((), jnp.int32),
+                           ema_params=jax.tree.map(jnp.array, params))
         self.state = replicate(self.mesh, state)
         self._train_step = self._build_step(training=True)
         self._eval_step = self._build_step(training=False)
@@ -155,8 +158,14 @@ class Trainer:
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             params = optax.apply_updates(state.params, updates)
+            if cfg.ema_decay > 0.0:
+                d = cfg.ema_decay
+                ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                                   state.ema_params, params)
+            else:
+                ema = params
             new_state = TrainState(params, opt_state, state.step + 1, buf,
-                                   count)
+                                   count, ema)
             return new_state, loss, info
 
         return jax.jit(step, donate_argnums=(0,))
@@ -198,9 +207,11 @@ class Trainer:
 
         path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, jax.device_get(
-            {"params": self.state.params,
-             "step": self.state.step}), force=True)
+        payload = {"params": self.state.params,
+                   "step": self.state.step}
+        if self.cfg.ema_decay > 0.0:
+            payload["ema_params"] = self.state.ema_params
+        ckptr.save(path, jax.device_get(payload), force=True)
         ckptr.wait_until_finished()
 
     def load_checkpoint(self, path: str):
@@ -210,7 +221,16 @@ class Trainer:
         ckptr = ocp.StandardCheckpointer()
         target = jax.device_get({"params": self.state.params,
                                  "step": self.state.step})
-        restored = ckptr.restore(path, target)
+        try:
+            with_ema = dict(target,
+                            ema_params=jax.device_get(
+                                self.state.ema_params))
+            restored = ckptr.restore(path, with_ema)
+            ema = restored["ema_params"]
+        except Exception:
+            restored = ckptr.restore(path, target)
+            ema = restored["params"]
         self.state = self.state._replace(
             params=replicate(self.mesh, restored["params"]),
+            ema_params=replicate(self.mesh, ema),
             step=jnp.asarray(restored["step"]))

@@ -87,7 +87,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", required=True)
     ap.add_argument("--sdf_dir", default=None)
-    ap.add_argument("--zip", default=DEFAULT_ZIP)
+    ap.add_argument("--zip", nargs="+", default=[DEFAULT_ZIP])
+    ap.add_argument("--all_sets", action="store_true",
+                    help="use every committed reference molecule set "
+                         "(origion + SPSA + ATP + mix + 3 inpaint sets, "
+                         "~10k valid molecules) instead of --zip")
     ap.add_argument("--max_lig", type=int, default=24,
                     help="skip ligands with more heavy atoms")
     ap.add_argument("--min_lig", type=int, default=8)
@@ -96,7 +100,27 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--require_valid",
                     action=argparse.BooleanOptionalAction, default=True)
+    ap.add_argument("--dedup", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="drop exact duplicates (same symbols + coords "
+                         "quantised to 1e-3 A) across the input sets")
+    ap.add_argument("--pocket_per_atom", type=int, default=10,
+                    help="candidate shell points per ligand atom; higher "
+                         "gives denser pockets")
+    ap.add_argument("--pocket_min_self", type=float, default=2.8,
+                    help="minimum spacing between shell atoms (A); lower "
+                         "gives denser pockets")
     args = ap.parse_args(argv)
+    if args.all_sets:
+        args.zip = [
+            "/root/reference/my_example_origion/600_final.zip",
+            "/root/reference/my_example_SPSA/100_30_2_o.zip",
+            "/root/reference/my_example_ATP/60_15_100_o.zip",
+            "/root/reference/my_example_mix/100_50_10_o.zip",
+            "/root/reference/my_example_inpaint/origion_50_new.zip",
+            "/root/reference/my_example_inpaint/SPSA_50_new.zip",
+            "/root/reference/my_example_inpaint/ATP_50_new.zip",
+        ]
 
     from diffndm_tpu.chem.bonds import build_molecule
     from diffndm_tpu.chem.io import read_sdf
@@ -107,19 +131,24 @@ def main(argv=None):
     nf = len(enc)
     dataset_info = dataset_params["crossdock_full"]
 
-    sdf_dir = args.sdf_dir
-    tmp = None
-    if sdf_dir is None:
-        tmp = tempfile.mkdtemp(prefix="virtual_sdf_")
-        with zipfile.ZipFile(args.zip) as z:
-            z.extractall(tmp)
-        sdf_dir = tmp
+    if args.sdf_dir is not None:
+        sdf_dirs = [args.sdf_dir]
+    else:
+        sdf_dirs = []
+        for zp in args.zip:
+            tmp = tempfile.mkdtemp(prefix="virtual_sdf_")
+            with zipfile.ZipFile(zp) as z:
+                z.extractall(tmp)
+            sdf_dirs.append(tmp)
 
     rng = np.random.default_rng(args.seed)
     pairs = []  # (lig_xyz, lig_oh, poc_xyz, poc_oh, name)
-    n_skip_size = n_skip_type = n_skip_invalid = 0
-    files = sorted(glob.glob(os.path.join(sdf_dir, "**", "*.sdf"),
-                             recursive=True))
+    n_skip_size = n_skip_type = n_skip_invalid = n_skip_dup = 0
+    seen = set()
+    files = []
+    for d in sdf_dirs:
+        files += sorted(glob.glob(os.path.join(d, "**", "*.sdf"),
+                                  recursive=True))
     for path in files:
         base = os.path.splitext(os.path.basename(path))[0][:40]
         for mi, mol in enumerate(read_sdf(path)):
@@ -131,6 +160,13 @@ def main(argv=None):
                 continue
             xyz = np.asarray(mol.coords, np.float32)
             types = np.array([enc[s] for s in mol.symbols])
+            if args.dedup:
+                k = (tuple(types.tolist()),
+                     tuple(np.round(xyz - xyz.mean(0), 3).ravel().tolist()))
+                if k in seen:
+                    n_skip_dup += 1
+                    continue
+                seen.add(k)
             if args.require_valid:
                 # keep the training distribution clean: geometry-derived
                 # bonds must sanitize (same oracle the eval uses)
@@ -139,7 +175,9 @@ def main(argv=None):
                 except SanitizeError:
                     n_skip_invalid += 1
                     continue
-            poc = synth_pocket(xyz, rng).astype(np.float32)
+            poc = synth_pocket(xyz, rng, min_self=args.pocket_min_self,
+                               per_atom=args.pocket_per_atom
+                               ).astype(np.float32)
             if len(poc) < 16:
                 n_skip_size += 1
                 continue
@@ -186,7 +224,7 @@ def main(argv=None):
                               [len(it[2]) for it in train_items])
     np.save(os.path.join(args.out, "size_distribution.npy"), hist)
     print(f"kept {n} / skipped size={n_skip_size} type={n_skip_type} "
-          f"invalid={n_skip_invalid}")
+          f"invalid={n_skip_invalid} dup={n_skip_dup}")
 
 
 if __name__ == "__main__":
