@@ -59,15 +59,24 @@ def _baseline_measured():
 
 
 def build_pocket(B, NP, atom_nf):
-    """Real 3rfm pocket (repeated B times) when available, synthetic
-    otherwise. Returns (pocket NodeBatch, name)."""
+    """Real reference pocket (repeated B times) when available, synthetic
+    otherwise. Returns (pocket NodeBatch, name).
+
+    BENCH_PDB selects the structure (3rfm default, 5ndu available);
+    BENCH_CUTOFF widens the pocket-extraction radius (8 A reference
+    default, process_crossdock.py:51-58) — e.g. BENCH_PDB=5ndu
+    BENCH_CUTOFF=12 yields a real 482-atom pocket (padded 512) for
+    large-pocket scaling runs."""
     import jax
     import jax.numpy as jnp
 
     from diffndm_tpu.structs import NodeBatch
 
-    pdb = os.path.join(REF_EXAMPLE, "3rfm.pdb")
-    sdf = os.path.join(REF_EXAMPLE, "3rfm_B_CFF.sdf")
+    which = os.environ.get("BENCH_PDB", "3rfm")
+    lig_sdf = {"3rfm": "3rfm_B_CFF.sdf", "5ndu": "5ndu_C_8V2.sdf"}
+    cutoff = float(os.environ.get("BENCH_CUTOFF", 8.0))
+    pdb = os.path.join(REF_EXAMPLE, f"{which}.pdb")
+    sdf = os.path.join(REF_EXAMPLE, lig_sdf.get(which, ""))
     if os.path.exists(pdb) and os.path.exists(sdf) and \
             os.environ.get("BENCH_SYNTH") != "1":
         from diffndm_tpu.data.pdb import parse_pdb
@@ -78,10 +87,11 @@ def build_pocket(B, NP, atom_nf):
         enc = {k: v for k, v in
                dataset_params["crossdock_full"]["atom_encoder"].items()
                if v < atom_nf}
-        residues = get_pocket_from_ligand(parse_pdb(pdb), sdf, 8.0)
+        residues = get_pocket_from_ligand(parse_pdb(pdb), sdf, cutoff)
         pocket = prepare_pocket(residues, enc, "full-atom", repeats=B,
                                 pad_multiple=64)
-        return pocket, "3rfm"
+        name = which if cutoff == 8.0 else f"{which}@{cutoff:g}A"
+        return pocket, name
     kp = jax.random.PRNGKey(1)
     pocket = NodeBatch(
         x=jax.random.normal(kp, (B, NP, 3)) * 4.0 + 10.0,

@@ -44,8 +44,16 @@ class CategoricalDistribution:
         sample = np.zeros(len(self.mapping))
         for x in other_sample:
             sample[x] += 1
+        if sample.sum() == 0:
+            return float("nan")  # no sample: KL undefined, but no warning
         q = sample / sample.sum()
-        return float(-np.sum(self.p * np.log(q / self.p + self.EPS)))
+        # zero-probability training bins contribute p*log(...) = 0 to the
+        # sum; computing them anyway emits divide-warnings and a silent
+        # NaN (reference quirk, metrics.py:32).  Restrict to p > 0 —
+        # identical value on every histogram whose bins are all populated.
+        nz = self.p > 0
+        return float(-np.sum(self.p[nz]
+                             * np.log(q[nz] / self.p[nz] + self.EPS)))
 
 
 class MoleculeProperties:

@@ -237,3 +237,69 @@ def test_band_approx_env_caps_window(monkeypatch):
     monkeypatch.setenv("DIFFNDM_BAND_APPROX", "32")
     w_capped = model.enable_banding(pocket)
     assert w_capped == 32
+
+
+def test_large_real_pocket_band_exactness_np512():
+    """NP >= 512 with REAL protein geometry (VERDICT r3 #6): the 5ndu
+    structure at a 12 A extraction radius yields a 482-atom full-atom
+    pocket (padded 512).  ensure_band_for must pick a window satisfying
+    the 1-D projection bound, and the banded forward must match dense to
+    float tolerance at that window."""
+    import os
+
+    from diffndm_tpu.config import DiffusionConfig, ModelConfig
+    from diffndm_tpu.data.pdb import parse_pdb
+    from diffndm_tpu.data.pocket import (get_pocket_from_ligand,
+                                         prepare_pocket)
+    from diffndm_tpu.constants import dataset_params
+    from diffndm_tpu.model import DiffNDM
+    from diffndm_tpu.structs import NodeBatch
+
+    pdb = "/root/reference/example/5ndu.pdb"
+    sdf = "/root/reference/example/5ndu_C_8V2.sdf"
+    if not os.path.exists(pdb):
+        pytest.skip("reference example structures not mounted")
+    enc = {k: v for k, v in
+           dataset_params["crossdock_full"]["atom_encoder"].items()
+           if v < 10}
+    residues = get_pocket_from_ligand(parse_pdb(pdb), sdf, 12.0)
+    pocket = prepare_pocket(residues, enc, "full-atom", repeats=2,
+                            pad_multiple=64)
+    n_real = int(np.asarray(pocket.mask).sum(1)[0])
+    npad = pocket.x.shape[1]
+    assert n_real >= 450 and npad >= 512, (n_real, npad)
+
+    cfg = ModelConfig(
+        egnn=EGNNConfig(hidden_nf=16, joint_nf=8, n_layers=2,
+                        inv_sublayers=1, attention=True, tanh=True,
+                        reflection_equivariant=False,
+                        edge_cutoff_pocket=5.0,
+                        edge_cutoff_interaction=5.0, row_tile=8),
+        diffusion=DiffusionConfig(timesteps=4))
+    model = DiffNDM(cfg)
+    w = model.ensure_band_for(pocket)
+    hw = band_halfwidth_atoms(np.asarray(pocket.x),
+                              np.asarray(pocket.mask), 5.0)
+    assert w > 0, "banding must engage on a 512-pad pocket"
+    assert w >= 2 * hw + cfg.egnn.row_tile, (w, hw)
+    assert w < npad, "window must actually be sparse"
+
+    # exactness: banded forward == dense forward on real geometry
+    nl = 16
+    rng = np.random.default_rng(3)
+    xh_lig = jnp.asarray(rng.normal(size=(2, nl, 13)).astype(np.float32))
+    xh_poc = jnp.concatenate(
+        [pocket.x, pocket.h[..., :10]], -1)
+    t = jnp.asarray([0.4, 0.6], jnp.float32)
+    lm = jnp.ones((2, nl))
+    banded_cfg = model.cfg.egnn
+    dense_cfg = dataclasses.replace(banded_cfg, band_window=None)
+    dense = EGNNDynamics(dense_cfg, atom_nf=10, residue_nf=10)
+    banded = EGNNDynamics(banded_cfg, atom_nf=10, residue_nf=10)
+    params = dense.init(jax.random.PRNGKey(0), xh_lig, xh_poc, t, lm,
+                        pocket.mask)
+    out_d = dense.apply(params, xh_lig, xh_poc, t, lm, pocket.mask)
+    out_b = banded.apply(params, xh_lig, xh_poc, t, lm, pocket.mask)
+    for d, b_ in zip(out_d, out_b):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(d),
+                                   atol=2e-5, rtol=1e-4)
