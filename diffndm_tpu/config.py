@@ -109,6 +109,12 @@ class SPSAConfig:
     # one-off hybrid branch-ensemble + prune at s == start_step
     # (conditional_model.py:1261-1418)
     hybrid_prune: bool = True
+    # Batch all k probes into ONE denoiser forward of batch k*2B (and one
+    # reward callback) instead of k sequential 2B forwards under lax.map.
+    # Identical math (perturbations come from the same per-probe keys);
+    # bigger matmuls feed the MXU better.  False restores the sequential
+    # memory-bounded path.
+    fuse_probes: bool = True
 
 
 @dataclass(frozen=True)

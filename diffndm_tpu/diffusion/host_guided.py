@@ -303,21 +303,51 @@ class HostGuidedSampler:
         core = self.core
         n_dims = core.n_dims
 
+        fuse = self.cfg.spsa.fuse_probes
+
         def fn(params, key, z, xh_p, lig_mask, pocket_mask, s, zeta):
             eps_fn = self._eps_fn(params)
             t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
             b = z.shape[0]
             ml = lig_mask[..., None]
+            keys = jax.random.split(key, num_probes)
+
+            def probe_pert(pk):
+                noise = jax.random.normal(pk, z[..., :n_dims].shape) * ml
+                noise = noise - masked_mean(noise, lig_mask, axis=1,
+                                            keepdims=True)
+                return zeta * noise * ml
+
+            if fuse:
+                # one k*2B forward (SPSAConfig.fuse_probes); output
+                # shapes stay [k, ...] so the host consumer is unchanged
+                k = num_probes
+                perts = jax.vmap(probe_pert)(keys)    # [k, B, NL, 3]
+                x = z[..., :n_dims]
+                feats = z[..., n_dims:]
+                z_pm = jnp.concatenate(
+                    [x[None] + perts, x[None] - perts], axis=1)
+                feats2 = jnp.broadcast_to(
+                    jnp.concatenate([feats, feats], 0)[None],
+                    (k, 2 * b) + feats.shape[1:])
+                z_pm = jnp.concatenate([z_pm, feats2], -1)
+                flat = z_pm.reshape((k * 2 * b,) + z_pm.shape[2:])
+                xhk = jnp.tile(xh_p, (2 * k, 1, 1))
+                lmk = jnp.tile(lig_mask, (2 * k, 1))
+                pmk = jnp.tile(pocket_mask, (2 * k, 1))
+                tk = jnp.broadcast_to(t_norm, (2 * k * b,))
+                z0 = core.to_x0(flat, xhk, tk, lmk, pmk, eps_fn)
+                z0x, z0t = self._compact(
+                    z0.reshape((k, 2 * b) + z0.shape[1:]), n_dims)
+                return perts, z0x, z0t
+
             xh2 = jnp.tile(xh_p, (2, 1, 1))
             lm2 = jnp.tile(lig_mask, (2, 1))
             pm2 = jnp.tile(pocket_mask, (2, 1))
             t2 = jnp.concatenate([jnp.broadcast_to(t_norm, (b,))] * 2)
 
             def one(pk):
-                noise = jax.random.normal(pk, z[..., :n_dims].shape) * ml
-                noise = noise - masked_mean(noise, lig_mask, axis=1,
-                                            keepdims=True)
-                pert = zeta * noise * ml
+                pert = probe_pert(pk)
 
                 def shift(sign):
                     return jnp.concatenate(
@@ -328,8 +358,7 @@ class HostGuidedSampler:
                 z0 = core.to_x0(z_pm, xh2, t2, lm2, pm2, eps_fn)
                 return pert, self._compact(z0, n_dims)
 
-            perts, (z0x, z0t) = jax.lax.map(
-                one, jax.random.split(key, num_probes))
+            perts, (z0x, z0t) = jax.lax.map(one, keys)
             # [k, B, NL, 3], [k, 2B, NL, 3] f32, [k, 2B, NL] int8
             return perts, z0x, z0t
 

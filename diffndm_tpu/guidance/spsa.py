@@ -43,36 +43,63 @@ def spsa_update(key, core: CondDiffusion, eps_fn, oracle: RewardOracle,
     n_dims = core.n_dims
     b = z_lig.shape[0]
     ml = lig_mask[..., None]
+    nx, _nh = core.cfg.norm_values
 
-    def one_probe(probe_key):
+    def probe_pert(probe_key):
         noise = jax.random.normal(probe_key, z_lig[..., :n_dims].shape)
         noise = noise * ml
         noise = noise - masked_mean(noise, lig_mask, axis=1, keepdims=True)
         noise = noise * ml
-        pert = zeta * noise  # [B, NL, 3]
-
-        # stack +/- into one batch of 2B and run a single x0 lookahead
-        def shift(sign):
-            x = z_lig[..., :n_dims] + sign * pert
-            return jnp.concatenate([x, z_lig[..., n_dims:]], -1)
-
-        z_pm = jnp.concatenate([shift(+1.0), shift(-1.0)], axis=0)
-        xh_p2 = jnp.tile(xh_pocket, (2, 1, 1))
-        lm2 = jnp.tile(lig_mask, (2, 1))
-        pm2 = jnp.tile(pocket_mask, (2, 1))
-        t2 = jnp.broadcast_to(t_norm, (b,))
-        t2 = jnp.concatenate([t2, t2], axis=0)
-        z0 = core.to_x0(z_pm, xh_p2, t2, lm2, pm2, eps_fn)
-
-        nx, nh = core.cfg.norm_values
-        rewards = oracle.spsa_rewards(z0[..., :n_dims] * nx,
-                                      z0[..., n_dims:], lm2, cfg)
-        f_plus, f_minus = rewards[:b], rewards[b:]
-        dd = (f_plus - f_minus) / (2.0 * ZETA_GRAD_DENOM)
-        return dd[:, None, None] * pert  # [B, NL, 3]
+        return zeta * noise  # [B, NL, 3]
 
     keys = jax.random.split(key, cfg.num_probes)
-    grads = jax.lax.map(one_probe, keys)  # [k, B, NL, 3]
+    if cfg.fuse_probes:
+        # all k probes in ONE k*2B forward + ONE reward callback
+        k = cfg.num_probes
+        perts = jax.vmap(probe_pert)(keys)            # [k, B, NL, 3]
+        x = z_lig[..., :n_dims]
+        feats = z_lig[..., n_dims:]
+        z_pm = jnp.concatenate([x[None] + perts, x[None] - perts],
+                               axis=1)                # [k, 2B, NL, 3]
+        feats2 = jnp.broadcast_to(
+            jnp.concatenate([feats, feats], 0)[None],
+            (k, 2 * b) + feats.shape[1:])
+        z_pm = jnp.concatenate([z_pm, feats2], -1)
+        flat = z_pm.reshape((k * 2 * b,) + z_pm.shape[2:])
+        xh_pk = jnp.tile(xh_pocket, (2 * k, 1, 1))
+        lmk = jnp.tile(lig_mask, (2 * k, 1))
+        pmk = jnp.tile(pocket_mask, (2 * k, 1))
+        tk = jnp.broadcast_to(t_norm, (2 * k * b,))
+        z0 = core.to_x0(flat, xh_pk, tk, lmk, pmk, eps_fn)
+        rewards = oracle.spsa_rewards(z0[..., :n_dims] * nx,
+                                      z0[..., n_dims:], lmk, cfg)
+        r = rewards.reshape(k, 2, b)
+        dd = (r[:, 0] - r[:, 1]) / (2.0 * ZETA_GRAD_DENOM)  # [k, B]
+        grads = dd[:, :, None, None] * perts
+    else:
+        def one_probe(probe_key):
+            pert = probe_pert(probe_key)
+
+            # stack +/- into one batch of 2B, one x0 lookahead
+            def shift(sign):
+                x = z_lig[..., :n_dims] + sign * pert
+                return jnp.concatenate([x, z_lig[..., n_dims:]], -1)
+
+            z_pm = jnp.concatenate([shift(+1.0), shift(-1.0)], axis=0)
+            xh_p2 = jnp.tile(xh_pocket, (2, 1, 1))
+            lm2 = jnp.tile(lig_mask, (2, 1))
+            pm2 = jnp.tile(pocket_mask, (2, 1))
+            t2 = jnp.broadcast_to(t_norm, (b,))
+            t2 = jnp.concatenate([t2, t2], axis=0)
+            z0 = core.to_x0(z_pm, xh_p2, t2, lm2, pm2, eps_fn)
+
+            rewards = oracle.spsa_rewards(z0[..., :n_dims] * nx,
+                                          z0[..., n_dims:], lm2, cfg)
+            f_plus, f_minus = rewards[:b], rewards[b:]
+            dd = (f_plus - f_minus) / (2.0 * ZETA_GRAD_DENOM)
+            return dd[:, None, None] * pert  # [B, NL, 3]
+
+        grads = jax.lax.map(one_probe, keys)  # [k, B, NL, 3]
     avg_grad = jnp.mean(grads, axis=0)
 
     new_x = z_lig[..., :n_dims] + cfg.guidance_scale * avg_grad

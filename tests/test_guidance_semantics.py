@@ -314,3 +314,57 @@ def test_mixed_reward_precedence():
     # reference quirk: (250 - s/250) ~ 249.8 vs intended (250-s)/250 = 0.84
     assert m_compat[0] > 100
     assert 0 < m_sane[0] < 5
+
+
+def test_fused_probes_match_sequential():
+    """SPSAConfig.fuse_probes=True (one k*2B forward) must produce the
+    same guidance update as the sequential lax.map path — identical
+    per-probe keys, same math, only the batching differs."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffndm_tpu.config import (DiffusionConfig, EGNNConfig,
+                                    SPSAConfig)
+    from diffndm_tpu.constants import dataset_params
+    from diffndm_tpu.diffusion import schedules as S
+    from diffndm_tpu.diffusion.core import CondDiffusion
+    from diffndm_tpu.guidance.oracle import RewardOracle
+    from diffndm_tpu.guidance.spsa import spsa_update
+    from diffndm_tpu.models.dynamics import EGNNDynamics
+
+    ATOM_NF, B, NL, NP = 10, 3, 8, 16
+    cfg = EGNNConfig(hidden_nf=16, joint_nf=8, n_layers=1, row_tile=8,
+                     attention=False, reflection_equivariant=True)
+    module = EGNNDynamics(cfg, atom_nf=ATOM_NF, residue_nf=ATOM_NF)
+    key = jax.random.PRNGKey(0)
+    params = module.init(key, jnp.zeros((1, NL, 13)),
+                         jnp.zeros((1, NP, 13)), jnp.zeros((1,)),
+                         jnp.ones((1, NL)), jnp.ones((1, NP)))
+
+    def eps_fn(z, xh_p, t, lm, pm):
+        return module.apply(params, z, xh_p, t, lm, pm)
+
+    core = CondDiffusion(S.make_schedule("polynomial_2", 10, 5e-4),
+                         DiffusionConfig(timesteps=10), ATOM_NF, ATOM_NF)
+    oracle = RewardOracle(dataset_params["crossdock_full"])
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, NL, 3 + ATOM_NF))
+    xh_p = jax.random.normal(jax.random.PRNGKey(2), (B, NP, 3 + ATOM_NF))
+    lm = jnp.ones((B, NL))
+    pm = jnp.ones((B, NP))
+
+    outs = {}
+    for fuse in (True, False):
+        scfg = SPSAConfig(enabled=True, num_probes=3, fuse_probes=fuse)
+        outs[fuse] = spsa_update(jax.random.PRNGKey(3), core, eps_fn,
+                                 oracle, z, xh_p, lm, pm,
+                                 jnp.asarray(0.5), jnp.asarray(1e-3),
+                                 scfg)
+    np.testing.assert_allclose(np.asarray(outs[True][0]),
+                               np.asarray(outs[False][0]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs[True][1]),
+                               np.asarray(outs[False][1]),
+                               atol=1e-5, rtol=1e-5)
