@@ -30,6 +30,35 @@ They stay wired behind ``EGNNConfig.use_pallas`` (off by default, with
 an interpret-mode equivalence test) as the starting point for larger
 shapes, where the O(N^2 H) HBM-traffic argument above starts to win;
 re-tune before enabling in production.
+
+ROOFLINE (round-4, quantified — why XLA stays the default; counted by
+utils/flops.py on the exact banded program, measured on one v5e chip):
+
+- Flagship sampler step (B=20, N=24+320, H=256, 6 layers, band W=176):
+  **3.584e12 FLOPs** (XLA cost model; closed-form matmul count agrees
+  within 3%) in 60.9 ms = **58.9 TFLOP/s sustained = 29.9% MFU** against
+  the 197 TFLOP/s bf16 peak — and that denominator includes the
+  sampler's posterior/RNG algebra, so the EGNN forward alone sits
+  higher.
+- HLO "bytes accessed" = 2.21e11 per step, an upper bound that counts
+  every producer/consumer pair.  If that traffic actually hit HBM the
+  step would need 4.4x the chip's 819 GB/s — i.e. XLA's fusion already
+  keeps >= 77% of the chain's bytes in registers/VMEM.  The residual
+  headroom for a perfect kernel is bounded by 1/MFU ~= 3.3x, and the
+  measured Pallas attempts above were *slower*, not faster: the chain's
+  non-matmul half (silu/sigmoid/direction math) is VPU-bound, and
+  Mosaic's f32-scalar constraints force a wider VPU footprint than
+  XLA's fused bf16 elementwise ops.
+- The dominant matmuls contract over H=256 or 2H=512 — already
+  MXU-shaped; a hand kernel cannot shrink their FLOPs, only the HBM
+  round-trips XLA has mostly eliminated.
+
+Conclusion: at every shape this model family uses (N <= ~900 after
+banding), the XLA row-tiled path runs within ~3x of the bf16 compute
+roofline with most of the gap in VPU-bound elementwise work, so a Pallas
+win would require beating XLA's elementwise fusion, not its memory
+scheduling.  Revisit only if H grows past ~512 or banding is disabled on
+N >> 1000 pockets.
 """
 
 from __future__ import annotations
