@@ -423,11 +423,12 @@ def main():
             # one fused 2B-batch denoiser call per +/-zeta probe pair)
             if "flops_per_step" in out:
                 try:
-                    from diffndm_tpu.utils.flops import (peak_tflops_for,
-                                                         xla_forward_flops)
+                    from diffndm_tpu.utils.flops import (
+                        egnn_flops_analytic, peak_tflops_for)
                     B2 = 2 * B
-                    fwd = jax.jit(lambda z, xp, t, lm, pm: module.apply(
-                        params, z, xp, t, lm, pm))
+                    fwd = jax.jit(
+                        lambda z, xp, t, lm, pm: g_module.apply(
+                            params, z, xp, t, lm, pm))
                     z2 = jnp.zeros((B2, NL, 3 + atom_nf))
                     p2 = jnp.concatenate([pocket.x, pocket.x], 0)
                     h2 = jnp.concatenate([pocket.h, pocket.h], 0)
@@ -443,8 +444,18 @@ def main():
                         r = fwd(z2, xp2, t2, lm2, pm2)
                         jax.block_until_ready(r)
                         tp = min(tp, time.time() - t0)
-                    fl2 = xla_forward_flops(module, params, B2, NL,
+                    # per-sample independence: FLOPs scale exactly
+                    # linearly in batch; the guided band's FLOP delta is
+                    # applied via the closed-form ratio (within 3% of the
+                    # XLA count at flagship width) — no second unrolled
+                    # lowering needed
+                    band_ratio = (
+                        egnn_flops_analytic(g_module.cfg, atom_nf, B, NL,
                                             np_pad)
+                        / max(egnn_flops_analytic(cfg, atom_nf, B, NL,
+                                                  np_pad), 1.0))
+                    fl2 = {"flops": 2.0 * out["flops_per_step"]
+                           * band_ratio}
                     dev = jax.devices()[0]
                     peak = peak_tflops_for(dev.device_kind)
                     out["probe_fwd_ms"] = round(tp * 1000, 2)
