@@ -90,6 +90,7 @@ def main(argv=None):
         from diffndm_tpu.chem.metrics import MoleculeProperties
         from diffndm_tpu.chem.sanitize import (SanitizeError,
                                                connectivity_fraction,
+                                               largest_fragment,
                                                sanitize)
 
         props = MoleculeProperties()
@@ -121,25 +122,32 @@ def main(argv=None):
                                          m.dataset_info)
             for mol in mols:
                 n_tot += 1
+                # fraction of atoms in the largest fragment of the RAW
+                # generated molecule (metrics.py compute_connectivity
+                # semantics, VERDICT r3 weak #2) — reported before any
+                # extraction so fragmentation stays visible
+                conn.append(connectivity_fraction(mol))
+                # reference protocol (generate_ligands.py:101
+                # largest_frag=not all_frags; my_test.py passes no
+                # --all_frags): score the LARGEST FRAGMENT; validity =
+                # it sanitizes (my_new_evaluate.py reads with RDKit
+                # default sanitize)
+                frag = largest_fragment(mol)
                 try:
-                    sanitize(mol)
+                    sanitize(frag)
                 except SanitizeError:
                     continue
-                # fraction of atoms in the largest fragment; 1.0 means the
-                # valid molecule is a single connected graph (metrics.py
-                # compute_connectivity semantics, VERDICT r3 weak #2)
-                conn.append(connectivity_fraction(mol))
-                rows.append((props.calculate_qed(mol),
-                             props.calculate_sa(mol),
-                             props.calculate_logp(mol),
-                             props.calculate_lipinski(mol)))
+                rows.append((props.calculate_qed(frag),
+                             props.calculate_sa(frag),
+                             props.calculate_logp(frag),
+                             props.calculate_lipinski(frag)))
         arr = np.asarray(rows, float) if rows else np.zeros((0, 4))
         out = {
             "mode": label,
             "n": int(n_tot),
             "valid": len(rows) / max(n_tot, 1),
-            # mean largest-fragment fraction over valid molecules, and the
-            # strict fraction that are fully connected graphs
+            # mean largest-fragment fraction over ALL generated molecules,
+            # and the strict fraction that are fully connected graphs
             "connectivity": float(np.mean(conn)) if conn else 0.0,
             "connected": (float(np.mean([c >= 1.0 for c in conn]))
                           if conn else 0.0),
