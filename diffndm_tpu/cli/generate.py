@@ -110,7 +110,9 @@ def main(argv=None):
             timesteps=args.timesteps,
             num_nodes_lig=num_nodes, optimize=bool(args.optimize),
             train_rl=bool(args.path_save), sanitize=args.sanitize,
-            largest_frag=args.all_frags is False and args.sanitize,
+            # reference generate_ligands.py:101: largest_frag defaults on
+            # (independent of --sanitize) unless --all_frags is passed
+            largest_frag=not args.all_frags,
             relax_iter=(200 if args.relax else 0))
         if args.path_save:
             model.adjust_state.save(args.path_save)

@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--timesteps", type=int, default=None)
     p.add_argument("--max_pockets", type=int, default=100)
     p.add_argument("--sanitize", action="store_true")
+    p.add_argument("--all_frags", action="store_true",
+                   help="keep all fragments (reference test.py:127 defaults\n                   to the largest fragment)")
     p.add_argument("--oversample_maxiter", type=int, default=10,
                    help="regenerate until n_samples valid (test.py:102-135)")
     p.add_argument("--max_tries", type=int, default=10)
@@ -135,7 +137,8 @@ def main(argv=None):
             key, k = jax.random.split(key)
             out = model.generate_ligands_multi(
                 chunk, args.n_samples, key=k, timesteps=args.timesteps,
-                sanitize=args.sanitize)
+                sanitize=args.sanitize,
+                largest_frag=not args.all_frags)
             dt = time.time() - t0
             for name, mols in out.items():
                 write_sdf(os.path.join(
@@ -170,7 +173,8 @@ def main(argv=None):
                     mols, _ = model.generate_ligands(
                         os.path.join(args.test_dir, pdb),
                         args.n_samples, sdf, key=k,
-                        timesteps=args.timesteps, sanitize=args.sanitize)
+                        timesteps=args.timesteps, sanitize=args.sanitize,
+                        largest_frag=not args.all_frags)
                     valid_mols += [m for m in mols
                                    if m is not None and is_valid(m)]
                     if len(valid_mols) >= args.n_samples:

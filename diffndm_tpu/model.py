@@ -329,7 +329,8 @@ class DiffNDM:
     def generate_ligands_multi(self, pdb_refs: Sequence[tuple],
                                n_samples: int, key=None,
                                timesteps: Optional[int] = None,
-                               sanitize: bool = False):
+                               sanitize: bool = False,
+                               largest_frag: bool = False):
         """Batched generation for MANY pockets in one device batch: pockets
         are padded to a common bucket and stacked ([n_pockets * n_samples]
         samples), so one compiled sampler amortizes across the sweep.
@@ -356,7 +357,8 @@ class DiffNDM:
         sizes = self.sample_ligand_sizes(k_size, pocket)
         result = self.sampler.sample_given_pocket(
             k_sample, pocket, sizes, timesteps=timesteps)
-        mols = self.result_to_molecules(result, sanitize=sanitize)
+        mols = self.result_to_molecules(result, sanitize=sanitize,
+                                        largest_frag=largest_frag)
         out = {}
         for i, name in enumerate(names):
             out[name] = mols[i * n_samples:(i + 1) * n_samples]
