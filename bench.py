@@ -183,11 +183,12 @@ def main():
     sizes = np.full((B,), NL)
 
     # ---- unguided rate --------------------------------------------------
-    # The per-step cost defines throughput (the scan body is the same
-    # compiled program at any trip count); a T_MEASURE-step run gives the
-    # step rate and stays robust to the remote tunnel's multi-minute
-    # compile/fetch stalls.  BENCH_FULL=1 times the full T-step run.
-    full = os.environ.get("BENCH_FULL") == "1"
+    # BENCH_FULL=1 (the default since round 4) times the full T-step run
+    # end-to-end — measured, not composed.  BENCH_FULL=0 falls back to the
+    # per-step extrapolation (a T_MEASURE-step run; the scan body is the
+    # same compiled program at any trip count), which stays robust to the
+    # remote tunnel's multi-minute compile/fetch stalls.
+    full = os.environ.get("BENCH_FULL", "1") == "1"
     t_measure = T if full else min(T, int(os.environ.get(
         "BENCH_T_MEASURE", 100)))
 
