@@ -338,8 +338,11 @@ def main():
             guided_mode = ("host"
                            if os.environ.get("DIFFNDM_HOST_GUIDANCE") == "1"
                            or not supports_io_callback() else "fused")
-            gcfg = SampleConfig(spsa=SPSAConfig(enabled=True),
-                                atp=ATPConfig(enabled=True))
+            gcfg = SampleConfig(
+                spsa=SPSAConfig(enabled=True,
+                                fuse_probes=os.environ.get(
+                                    "BENCH_FUSE_PROBES", "1") == "1"),
+                atp=ATPConfig(enabled=True))
             # Guided mode ships with approximate banding (default W=128,
             # BENCH_GUIDED_BAND=0 restores the exact window): the probe
             # rollouts and trajectory tolerate a slightly truncated
