@@ -5,13 +5,17 @@ Two modes, mirroring the reference's two builders
 
 - ``bond_order_matrix`` — the blind EDM distance-table rule (single /
   double / triple by threshold), kept for parity tests.
-- ``perceive_molecule`` — the default builder, a valence-aware perception
-  pass playing the role OpenBabel's geometry+valence perception plays in
-  the reference (``make_mol_openbabel``): connectivity from the single-bond
-  table, geometric kekulization of aromatic rings (maximum matching), then
-  greedy valence-checked multiple-bond upgrades ordered by distance.  This
-  avoids the EDM path's systematic failures (benzene at 1.39 A gets no
-  double bonds; blind order overrides create valence violations).
+- ``perceive_molecule`` — the default builder, playing the role
+  OpenBabel's geometry+valence perception plays in the reference
+  (``make_mol_openbabel``): connectivity by OpenBabel's ConnectTheDots
+  rule (rcov_i + rcov_j + 0.45 A with longest-bond pruning at
+  over-coordinated atoms — generated geometries stretch bonds well past
+  the tabulated equilibrium lengths, and the reference's whole
+  evaluation rides on OB connecting them), geometric kekulization of
+  aromatic rings (maximum matching), then greedy valence-checked
+  multiple-bond upgrades ordered by distance.  This avoids the EDM
+  path's systematic failures (benzene at 1.39 A gets no double bonds;
+  blind order overrides create valence violations).
 """
 
 from __future__ import annotations
@@ -21,7 +25,8 @@ from typing import List
 import numpy as np
 
 from diffndm_tpu.chem.mol import Molecule
-from diffndm_tpu.constants import ALLOWED_BONDS, MARGIN1, MARGIN2, MARGIN3
+from diffndm_tpu.constants import (ALLOWED_BONDS, MARGIN1, MARGIN2, MARGIN3,
+                                   OB_COVALENT_RADII, OB_MAX_BONDS)
 
 
 def _tables(dataset_info):
@@ -75,9 +80,30 @@ def perceive_molecule(coords: np.ndarray, type_idx: np.ndarray,
     b2p = b2[t[:, None], t[None, :]]
     b3p = b3[t[:, None], t[None, :]]
 
-    # 1) connectivity from the single-bond table
-    conn = (d < b1p + MARGIN1) & (b1p > 0)
+    # 1) connectivity: OpenBabel's ConnectTheDots rule (the reference's
+    # default builder, molecule_builder.py:58-97) — bond when
+    # d < rcov_i + rcov_j + 45 pm (and d > 40 pm), then atoms exceeding
+    # their OB maximum bond count drop their LONGEST bonds (smallest atom
+    # index first; first-max neighbour on ties — the native scorer
+    # mirrors this exactly).  Measured on the 2,000 committed
+    # my_example_origion molecules: 0/43,649 reference bonds missed,
+    # 100% rebuilt connectivity (the old single-bond-table rule
+    # fragmented 89% of them).
+    rcov = np.array([OB_COVALENT_RADII.get(s, 77.0) for s in symbols])
+    conn = (d < rcov[:, None] + rcov[None, :] + 45.0) & (d > 40.0)
     np.fill_diagonal(conn, False)
+    obcap = np.array([OB_MAX_BONDS.get(s, 4) for s in symbols])
+    deg = conn.sum(1)
+    while True:
+        overs = np.nonzero(deg > obcap)[0]
+        if len(overs) == 0:
+            break
+        a = int(overs[0])
+        nb = np.nonzero(conn[a])[0]
+        j = int(nb[np.argmax(d[a, nb])])
+        conn[a, j] = conn[j, a] = False
+        deg[a] -= 1
+        deg[j] -= 1
     iu = np.triu_indices(n, k=1)
     edges = [(int(i), int(j)) for i, j in zip(*iu) if conn[i, j]]
     order = {e: 1 for e in edges}

@@ -19,6 +19,26 @@ import numpy as np
 # ---------------------------------------------------------------------------
 MARGIN1, MARGIN2, MARGIN3 = 3.0, 2.0, 1.0
 
+# OpenBabel element data (element.txt of the OpenBabel distribution; public
+# reference data): single-bond covalent radii (pm) and maximum bond counts.
+# The reference's default molecule builder is OpenBabel's ConnectTheDots
+# (molecule_builder.py:58-97): two atoms bond when their distance is below
+# rcov_i + rcov_j + 0.45 A, atoms closer than 0.4 A never bond, and atoms
+# exceeding their maximum bond count drop their LONGEST bonds.  Connectivity
+# perception (chem/bonds.py, native/chemscore.cpp) uses these tables so a
+# rebuilt point cloud connects exactly like the reference pipeline (measured:
+# 0 missing bonds over the 43,649 bonds of the 2,000 committed
+# my_example_origion molecules).
+OB_COVALENT_RADII = {
+    "H": 31.0, "B": 84.0, "C": 76.0, "N": 71.0, "O": 66.0, "F": 57.0,
+    "Al": 121.0, "Si": 111.0, "P": 107.0, "S": 105.0, "Cl": 102.0,
+    "As": 119.0, "Br": 120.0, "I": 139.0, "Hg": 132.0, "Bi": 148.0,
+}
+OB_MAX_BONDS = {
+    "H": 1, "B": 4, "C": 4, "N": 4, "O": 2, "F": 1, "Al": 6, "Si": 6,
+    "P": 6, "S": 6, "Cl": 1, "As": 5, "Br": 1, "I": 3, "Hg": 2, "Bi": 5,
+}
+
 # Allowed valences per element (list = multiple allowed oxidation states),
 # cf. reference constants.py:19-22.
 ALLOWED_BONDS = {

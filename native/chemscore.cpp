@@ -59,6 +59,17 @@ const int ATOMIC_NUM[N_ELEM] = {6, 7, 8, 16, 5, 35, 17, 15, 53, 9, 0};
 // _max_valence for the perception cap (bonds.py:54): max(ALLOWED tuple)
 const double PERCEIVE_CAP[N_ELEM] = {4, 3, 2, 4, 3, 1, 1, 5, 1, 1, 0};
 
+// OpenBabel element.txt single-bond covalent radii (pm) and maximum bond
+// counts (OB_COVALENT_RADII / OB_MAX_BONDS in constants.py), indexed by
+// Elem: connectivity follows the reference's default OpenBabel builder
+// (ConnectTheDots, molecule_builder.py:58-97): bond when
+// d < rcov_i + rcov_j + 45 pm (d > 40 pm), over-coordinated atoms drop
+// their longest bonds.  Unknown elements: rcov 77, maxb 4 (python .get
+// defaults).
+const double OB_RCOV[N_ELEM] = {76, 71, 66, 105, 84, 120, 102, 107, 139,
+                                57, 77};
+const int OB_MAXB[N_ELEM] = {4, 4, 2, 6, 4, 1, 1, 6, 3, 1, 4};
+
 const double MARGIN1 = 3.0, MARGIN2 = 2.0, MARGIN3 = 1.0;
 
 struct Mol {
@@ -267,12 +278,46 @@ bool perceive(const double* xyz, const int32_t* types, int n, int T,
     auto B2 = [&](int i, int j) { return b2[(size_t)types[i] * T + types[j]]; };
     auto B3 = [&](int i, int j) { return b3[(size_t)types[i] * T + types[j]]; };
 
-    // 1) connectivity, upper-triangle order (bonds.py:79-83)
+    // 1) connectivity: OpenBabel ConnectTheDots rule + longest-bond
+    // pruning, mirroring bonds.py step 1 exactly (smallest over-cap atom
+    // index first; first-max neighbour on distance ties = numpy argmax)
+    std::vector<uint8_t> conn((size_t)n * n, 0);
+    for (int i = 0; i < n; ++i)
+        for (int j = i + 1; j < n; ++j) {
+            double dij = d[(size_t)i * n + j];
+            double thr = OB_RCOV[m.elem[i]] + OB_RCOV[m.elem[j]] + 45.0;
+            if (dij < thr && dij > 40.0) {
+                conn[(size_t)i * n + j] = 1;
+                conn[(size_t)j * n + i] = 1;
+            }
+        }
+    {
+        std::vector<int> degc(n, 0);
+        for (int i = 0; i < n; ++i)
+            for (int j = 0; j < n; ++j) degc[i] += conn[(size_t)i * n + j];
+        for (;;) {
+            int a = -1;
+            for (int i = 0; i < n; ++i)
+                if (degc[i] > OB_MAXB[m.elem[i]]) { a = i; break; }
+            if (a < 0) break;
+            int jbest = -1;
+            double dbest = -1.0;
+            for (int j = 0; j < n; ++j)
+                if (conn[(size_t)a * n + j] &&
+                    d[(size_t)a * n + j] > dbest) {
+                    dbest = d[(size_t)a * n + j];
+                    jbest = j;
+                }
+            conn[(size_t)a * n + jbest] = 0;
+            conn[(size_t)jbest * n + a] = 0;
+            --degc[a];
+            --degc[jbest];
+        }
+    }
     std::vector<std::pair<int, int>> edges;
     for (int i = 0; i < n; ++i)
         for (int j = i + 1; j < n; ++j)
-            if (B1(i, j) > 0 && d[(size_t)i * n + j] < B1(i, j) + MARGIN1)
-                edges.push_back({i, j});
+            if (conn[(size_t)i * n + j]) edges.push_back({i, j});
     std::map<std::pair<int, int>, int> order;
     std::vector<double> used(n, 0.0);
     std::vector<int> deg(n, 0);
