@@ -100,6 +100,12 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--require_valid",
                     action=argparse.BooleanOptionalAction, default=True)
+    ap.add_argument("--require_connected",
+                    action=argparse.BooleanOptionalAction, default=False,
+                    help="additionally require the geometry-rebuilt "
+                         "molecule to be one connected graph (a model "
+                         "trained on fragmented point clouds faithfully "
+                         "samples fragmented point clouds)")
     ap.add_argument("--dedup", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="drop exact duplicates (same symbols + coords "
@@ -167,14 +173,23 @@ def main(argv=None):
                     n_skip_dup += 1
                     continue
                 seen.add(k)
-            if args.require_valid:
+            if args.require_valid or args.require_connected:
                 # keep the training distribution clean: geometry-derived
                 # bonds must sanitize (same oracle the eval uses)
-                try:
-                    sanitize(build_molecule(xyz, types, dataset_info))
-                except SanitizeError:
-                    n_skip_invalid += 1
-                    continue
+                built = build_molecule(xyz, types, dataset_info)
+                if args.require_connected:
+                    from diffndm_tpu.chem.sanitize import \
+                        connectivity_fraction
+
+                    if connectivity_fraction(built) < 1.0:
+                        n_skip_invalid += 1
+                        continue
+                if args.require_valid:
+                    try:
+                        sanitize(built)
+                    except SanitizeError:
+                        n_skip_invalid += 1
+                        continue
             poc = synth_pocket(xyz, rng, min_self=args.pocket_min_self,
                                per_atom=args.pocket_per_atom
                                ).astype(np.float32)
