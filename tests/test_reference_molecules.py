@@ -118,3 +118,40 @@ def test_sa_and_qed_track_per_set_aggregates(tmp_path):
                 qeds.append(props.calculate_qed(mol))
         assert abs(np.mean(sas) - sa_ref) < 0.03, (name, np.mean(sas))
         assert abs(np.mean(qeds) - qed_ref) < 0.05, (name, np.mean(qeds))
+
+
+def test_rebuilt_connectivity_matches_openbabel(ref_sdfs):
+    """Bond-perception parity with the reference's default OpenBabel
+    builder (molecule_builder.py:58-97): rebuilding the committed
+    molecules from their raw coordinates must reconnect them.  Round-4
+    measured on the full origion set: 0/43,649 reference bonds missed,
+    100% full connectivity, 83% exact bond-set match (the residual is
+    extra ring-closure bonds OB's angle refinements drop).  The old
+    single-bond-table rule fragmented 89% of these molecules — the root
+    cause of round-3's connectivity~0 samples."""
+    from diffndm_tpu.chem.bonds import perceive_molecule
+    from diffndm_tpu.chem.io import read_sdf
+    from diffndm_tpu.chem.sanitize import connectivity_fraction
+    from diffndm_tpu.constants import dataset_params
+
+    di = dataset_params["crossdock_full"]
+    enc = di["atom_encoder"]
+    n_conn = n_tot = n_exact = missed = 0
+    for path in ref_sdfs[:20]:
+        for mol in read_sdf(path):
+            if not all(s in enc for s in mol.symbols):
+                continue
+            t = np.array([enc[s] for s in mol.symbols])
+            built = perceive_molecule(np.asarray(mol.coords, float), t, di)
+            n_tot += 1
+            if connectivity_fraction(built) >= 1.0:
+                n_conn += 1
+            ref_bonds = {(min(i, j), max(i, j)) for i, j, _ in mol.bonds}
+            got_bonds = {(min(i, j), max(i, j)) for i, j, _ in built.bonds}
+            missed += len(ref_bonds - got_bonds)
+            if ref_bonds == got_bonds:
+                n_exact += 1
+    assert n_tot >= 300
+    assert missed == 0, f"{missed} reference bonds missed"
+    assert n_conn == n_tot, f"only {n_conn}/{n_tot} fully connected"
+    assert n_exact / n_tot > 0.75
