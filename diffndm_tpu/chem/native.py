@@ -123,6 +123,12 @@ class NativeScorer:
         self.T = len(decoder)
         self.elem = np.array([_ELEM_CODES.get(s, 10) for s in decoder],
                              np.int32)
+        # element types outside the 10-element ABI (H, Si, Hg, ... in a
+        # future decoder) perceive with real OB radii on the Python path
+        # but would collapse to the generic EL_OTHER entry natively —
+        # route any row containing one through the Python fallback so
+        # both paths stay equal for every decoder, not just crossdock
+        self._non_abi = self.elem == 10
         self.b1 = np.ascontiguousarray(dataset_info["bonds1"], np.float64)
         self.b2 = np.ascontiguousarray(dataset_info["bonds2"], np.float64)
         self.b3 = np.ascontiguousarray(dataset_info["bonds3"], np.float64)
@@ -148,7 +154,10 @@ class NativeScorer:
             self.b2.reshape(-1), self.b3.reshape(-1), self.fp_bits,
             self.fp_scores, len(self.fp_bits), w, rewards,
             terms.reshape(-1), native)
-        return rewards, native.astype(bool), terms
+        native = native.astype(bool)
+        if self._non_abi.any():
+            native &= ~(self._non_abi[types] & (mask > 0)).any(axis=1)
+        return rewards, native, terms
 
 
 def available() -> bool:
@@ -175,8 +184,11 @@ def find_rings_native(n: int, bonds: Sequence[Tuple[int, int]],
 def connectivity_native(coords: np.ndarray, types: np.ndarray,
                         mask: np.ndarray, bonds1: np.ndarray,
                         margin: float = 3.0) -> Optional[np.ndarray]:
-    """Batched connectivity: coords [B,N,3] A, types [B,N], mask [B,N],
-    bonds1 [T,T] pm -> conn [B,N,N] uint8 or None if lib unavailable."""
+    """Batched EDM distance-table connectivity (generic parity utility,
+    test-only): coords [B,N,3] A, types [B,N], mask [B,N], bonds1 [T,T]
+    pm -> conn [B,N,N] uint8 or None if lib unavailable.  The production
+    perception uses the OpenBabel ConnectTheDots rule instead
+    (bonds.py::perceive_molecule / chemscore.cpp::perceive)."""
     lib = load()
     if lib is None:
         return None

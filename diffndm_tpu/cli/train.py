@@ -37,8 +37,11 @@ def merge_resume_hparams(raw: dict, resume_dir: str) -> dict:
         saved = yaml.safe_load(f)
     merged = dict(raw)
     for k, v in saved.items():
-        if k in ("datadir", "logdir", "run_name"):
-            continue  # paths follow the current invocation
+        if k in ("datadir", "logdir", "run_name", "eval_epochs",
+                 "n_epochs"):
+            continue  # paths + run-control cadence follow the current
+            #           invocation; only model/optimizer hparams carry
+            #           over from the checkpoint
         if k in merged and merged[k] != v:
             print(f"[resume] config value {k}={merged[k]!r} overwritten "
                   f"by checkpoint value {v!r}")

@@ -195,6 +195,10 @@ int cg_find_rings(int n, int m, const int32_t* edges, int32_t* out_rings,
 
 // Batched distance-table connectivity: order 1 wherever
 // dist_pm < bonds1 + margin (and bonds1 > 0).  coords in Angstrom.
+// NOTE: this is the EDM-table rule (kept as a generic parity utility;
+// only tests use it) — NOT the production perception, which follows
+// OpenBabel's ConnectTheDots (chemscore.cpp::perceive,
+// chem/bonds.py::perceive_molecule).
 //   coords [B*N*3], types [B*N], mask [B*N], b1 [T*T]
 //   out_conn [B*N*N] uint8
 void cg_connectivity(const float* coords, const int32_t* types,

@@ -64,8 +64,10 @@ const double PERCEIVE_CAP[N_ELEM] = {4, 3, 2, 4, 3, 1, 1, 5, 1, 1, 0};
 // Elem: connectivity follows the reference's default OpenBabel builder
 // (ConnectTheDots, molecule_builder.py:58-97): bond when
 // d < rcov_i + rcov_j + 45 pm (d > 40 pm), over-coordinated atoms drop
-// their longest bonds.  Unknown elements: rcov 77, maxb 4 (python .get
-// defaults).
+// their longest bonds.  EL_OTHER carries placeholder values (77 pm / 4)
+// but never reaches scoring: rows containing a type outside this ABI
+// are routed to the Python fallback by NativeScorer (chem/native.py),
+// where the real per-element OB radii apply.
 const double OB_RCOV[N_ELEM] = {76, 71, 66, 105, 84, 120, 102, 107, 139,
                                 57, 77};
 const int OB_MAXB[N_ELEM] = {4, 4, 2, 6, 4, 1, 1, 6, 3, 1, 4};

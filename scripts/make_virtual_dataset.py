@@ -130,7 +130,9 @@ def main(argv=None):
 
     from diffndm_tpu.chem.bonds import build_molecule
     from diffndm_tpu.chem.io import read_sdf
-    from diffndm_tpu.chem.sanitize import SanitizeError, sanitize
+    from diffndm_tpu.chem.sanitize import (SanitizeError,
+                                           connectivity_fraction,
+                                           sanitize)
     from diffndm_tpu.constants import dataset_params
 
     enc = dataset_params["crossdock_full"]["atom_encoder"]
@@ -150,6 +152,7 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     pairs = []  # (lig_xyz, lig_oh, poc_xyz, poc_oh, name)
     n_skip_size = n_skip_type = n_skip_invalid = n_skip_dup = 0
+    n_skip_disconnected = 0
     seen = set()
     files = []
     for d in sdf_dirs:
@@ -174,16 +177,13 @@ def main(argv=None):
                     continue
                 seen.add(k)
             if args.require_valid or args.require_connected:
-                # keep the training distribution clean: geometry-derived
-                # bonds must sanitize (same oracle the eval uses)
+                # keep the training distribution clean under the same
+                # oracle the eval uses (geometry-derived bonds)
                 built = build_molecule(xyz, types, dataset_info)
-                if args.require_connected:
-                    from diffndm_tpu.chem.sanitize import \
-                        connectivity_fraction
-
-                    if connectivity_fraction(built) < 1.0:
-                        n_skip_invalid += 1
-                        continue
+                if args.require_connected and \
+                        connectivity_fraction(built) < 1.0:
+                    n_skip_disconnected += 1
+                    continue
                 if args.require_valid:
                     try:
                         sanitize(built)
@@ -239,6 +239,7 @@ def main(argv=None):
                               [len(it[2]) for it in train_items])
     np.save(os.path.join(args.out, "size_distribution.npy"), hist)
     print(f"kept {n} / skipped size={n_skip_size} type={n_skip_type} "
+          f"disconnected={n_skip_disconnected} "
           f"invalid={n_skip_invalid} dup={n_skip_dup}")
 
 
