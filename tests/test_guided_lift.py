@@ -23,10 +23,10 @@ RUN = os.path.join(os.path.dirname(__file__), "..", "examples",
                    "checkpoints", "virtual_cond")
 DATA = os.path.join(os.path.dirname(__file__), "..", "data", "processed",
                     "virtual", "test.npz")
-RUN_V2 = os.path.join(os.path.dirname(__file__), "..", "examples",
-                      "checkpoints", "virtual_cond_v2")
-DATA_V2 = os.path.join(os.path.dirname(__file__), "..", "data",
-                       "processed", "virtual_v2", "test.npz")
+RUN_V3 = os.path.join(os.path.dirname(__file__), "..", "examples",
+                      "checkpoints", "virtual_cond_v3")
+DATA_V3 = os.path.join(os.path.dirname(__file__), "..", "data",
+                       "processed", "virtual_v3", "test.npz")
 
 
 @pytest.mark.skipif(not os.path.isdir(RUN), reason="no committed ckpt")
@@ -48,15 +48,15 @@ def test_guided_qed_at_least_unguided(tmp_path):
     assert np.isfinite(res["sa_lift"])
 
 
-def test_v2_committed_eval_absolute_floors():
+def test_v3_committed_eval_absolute_floors():
     """Absolute quality floors on the committed round-4 checkpoint's full
     T=500 TPU evaluation (VERDICT r3 weak #3: a lift-only pin can never
     fail short of catastrophe).  The eval JSON is produced by
     scripts/guided_lift_eval.py on hardware and committed next to the
     checkpoint; regenerating it with a worse model trips this."""
-    path = os.path.join(RUN_V2, "guided_lift_tpu.json")
+    path = os.path.join(RUN_V3, "guided_lift_tpu.json")
     if not os.path.exists(path):
-        pytest.skip("v2 checkpoint eval not committed yet")
+        pytest.skip("v3 checkpoint eval not committed yet")
     with open(path) as f:
         res = json.load(f)
     assert res["T"] >= 500 and res["n_pockets"] >= 8
@@ -72,18 +72,18 @@ def test_v2_committed_eval_absolute_floors():
     assert res["qed_lift"] >= 0.0, res
 
 
-@pytest.mark.skipif(not os.path.isdir(RUN_V2), reason="no v2 ckpt")
-@pytest.mark.skipif(not os.path.exists(DATA_V2), reason="no v2 dataset")
-def test_v2_guided_qed_at_least_unguided(tmp_path):
-    """Cheap live run on the v2 checkpoint (1 pocket, 4 ligands, T=40):
+@pytest.mark.skipif(not os.path.isdir(RUN_V3), reason="no v3 ckpt")
+@pytest.mark.skipif(not os.path.exists(DATA_V3), reason="no v3 dataset")
+def test_v3_guided_qed_at_least_unguided(tmp_path):
+    """Cheap live run on the v3 checkpoint (1 pocket, 4 ligands, T=40):
     guidance must not degrade QED, and unguided validity must hold."""
-    out = tmp_path / "lift_v2.json"
+    out = tmp_path / "lift_v3.json"
     script = os.path.join(os.path.dirname(__file__), "..", "scripts",
                           "guided_lift_eval.py")
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     subprocess.run(
-        [sys.executable, script, "--run", RUN_V2, "--ckpt", "last",
-         "--data", DATA_V2, "--n_pockets", "1", "--n_samples", "4",
+        [sys.executable, script, "--run", RUN_V3, "--ckpt", "last",
+         "--data", DATA_V3, "--n_pockets", "1", "--n_samples", "4",
          "--T", "40", "--json", str(out)],
         check=True, env=env, timeout=1500)
     res = json.loads(out.read_text())
