@@ -78,6 +78,26 @@ def test_v3_committed_eval_absolute_floors():
     assert res["qed_lift"] >= 0.0, res
 
 
+def test_v3_committed_inpaint_eval_absolute_floors():
+    """Floors on the committed inpaint quality eval (reference table 4-2:
+    inpaint baseline QED 0.516 -> ATP 0.632; ours measures 0.537 -> 0.682
+    at the reference sweep configuration, timesteps 60 x resamplings 10 x
+    add 10, on 8 held-out pockets on TPU)."""
+    path = os.path.join(RUN_V3, "inpaint_lift_tpu.json")
+    if not os.path.exists(path):
+        pytest.skip("v3 inpaint eval not committed yet")
+    with open(path) as f:
+        res = json.load(f)
+    assert res["timesteps"] >= 60 and res["resamplings"] >= 10
+    assert res["n_pockets"] >= 8
+    ung, gui = res["unguided"], res["guided"]
+    assert ung["valid"] >= 0.95, ung
+    assert ung["qed"] >= 0.50, ung      # reference baseline row: 0.516
+    assert gui["valid"] >= 0.95, gui
+    assert gui["qed"] >= 0.62, gui      # reference ATP row: 0.632
+    assert res["qed_lift"] >= 0.10, res
+
+
 @pytest.mark.skipif(not os.path.isdir(RUN_V3), reason="no v3 ckpt")
 @pytest.mark.skipif(not os.path.exists(DATA_V3), reason="no v3 dataset")
 def test_v3_guided_qed_at_least_unguided(tmp_path):
