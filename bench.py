@@ -342,7 +342,11 @@ def main():
                 spsa=SPSAConfig(enabled=True,
                                 fuse_probes=os.environ.get(
                                     "BENCH_FUSE_PROBES", "1") == "1"),
-                atp=ATPConfig(enabled=True))
+                atp=ATPConfig(enabled=True),
+                # measured on v5e (3rfm, band 128): the k*2B probe
+                # forward prefers row_tile 16 over the trajectory's 8
+                fanout_row_tile=int(os.environ.get(
+                    "BENCH_FANOUT_ROW", 16)) or None)
             # Guided mode ships with approximate banding (default W=128,
             # BENCH_GUIDED_BAND=0 restores the exact window): the probe
             # rollouts and trajectory tolerate a slightly truncated

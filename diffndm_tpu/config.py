@@ -209,6 +209,13 @@ class SampleConfig:
     sanitize: bool = False
     relax_iter: int = 0
     largest_frag: bool = False
+    # row_tile override for the guidance fan-out forwards (SPSA k*2B
+    # probe batches, ATP/hybrid candidate rollouts) in the
+    # host-orchestrated sampler.  The big fused batches prefer a wider
+    # row tile than the B-sized trajectory steps (measured on v5e,
+    # 3rfm, band 128: k*2B=400 probe forward 1437 ms at row_tile 8 vs
+    # 1356 ms at 16).  None = inherit the module's row_tile.
+    fanout_row_tile: Optional[int] = None
     # padding buckets
     lig_pad_multiple: int = 8
     pocket_pad_multiple: int = 64

@@ -132,6 +132,25 @@ class HostGuidedSampler:
             return self.module.apply(params, z, xh_p, t, lm, pm)
         return fn
 
+    def _fanout_eps_fn(self, params):
+        """eps_fn for the guidance fan-out forwards (SPSA k*2B probe
+        batches, ATP/hybrid candidate rollouts).  When
+        SampleConfig.fanout_row_tile is set, the big batches run with
+        their own row tile (params are row-tile-independent — the tile
+        only shapes the banded gather/compute schedule)."""
+        rt = self.cfg.fanout_row_tile
+        if not rt or getattr(self.module.cfg, "row_tile", None) == rt:
+            return self._eps_fn(params)
+        import dataclasses as _dc
+        mod = type(self.module)(_dc.replace(self.module.cfg, row_tile=rt),
+                                atom_nf=self.module.atom_nf,
+                                residue_nf=self.module.residue_nf,
+                                n_dims=self.module.n_dims)
+
+        def fn(z, xh_p, t, lm, pm):
+            return mod.apply(params, z, xh_p, t, lm, pm)
+        return fn
+
     def _get(self, name, builder):
         if name not in self._jit_cache:
             self._jit_cache[name] = builder()
@@ -197,7 +216,7 @@ class HostGuidedSampler:
         core = self.core
 
         def fn(params, key, z, xh_p, lig_mask, pocket_mask, s):
-            eps_fn = self._eps_fn(params)
+            eps_fn = self._fanout_eps_fn(params)
             s_norm = s.astype(jnp.float32) / timesteps
             t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
             # identical key derivation to atp_prune (guidance/atp.py)
@@ -238,7 +257,7 @@ class HostGuidedSampler:
         core = self.core
 
         def fn(params, key, z, xh_p, lig_mask, pocket_mask, s):
-            eps_fn = self._eps_fn(params)
+            eps_fn = self._fanout_eps_fn(params)
             s_norm = s.astype(jnp.float32) / timesteps
             t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
             k_branch, _ = jax.random.split(key)
@@ -282,7 +301,7 @@ class HostGuidedSampler:
         core = self.core
 
         def fn(params, z_groups, xh_groups, lig_mask, pocket_mask, s):
-            eps_fn = self._eps_fn(params)
+            eps_fn = self._fanout_eps_fn(params)
             t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
 
             def one(zg):
@@ -306,7 +325,7 @@ class HostGuidedSampler:
         fuse = self.cfg.spsa.fuse_probes
 
         def fn(params, key, z, xh_p, lig_mask, pocket_mask, s, zeta):
-            eps_fn = self._eps_fn(params)
+            eps_fn = self._fanout_eps_fn(params)
             t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
             b = z.shape[0]
             ml = lig_mask[..., None]

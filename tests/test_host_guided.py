@@ -106,3 +106,21 @@ def test_host_matches_fused_without_guidance_structure(setup):
         os.environ.pop("DIFFNDM_HOST_GUIDANCE", None)
     np.testing.assert_allclose(np.asarray(r1.ligand.x),
                                np.asarray(r2.ligand.x), atol=1e-5)
+
+
+def test_fanout_row_tile_matches_default(setup):
+    """SampleConfig.fanout_row_tile re-tiles only the guidance fan-out
+    forwards (SPSA probes, ATP candidates); each row's banded reduction
+    set is unchanged, so guided samples must match the default run."""
+    base = SampleConfig(
+        spsa=SPSAConfig(enabled=True, num_probes=2, start_step=4, every=2),
+        atp=ATPConfig(enabled=True, num_groups=3, start_step=6, every=3))
+    r1 = run_host(setup, base)
+    import dataclasses as dc
+    r2 = run_host(setup, dc.replace(base, fanout_row_tile=8))
+    np.testing.assert_array_equal(np.asarray(r1.ligand.mask),
+                                  np.asarray(r2.ligand.mask))
+    np.testing.assert_allclose(np.asarray(r1.ligand.x),
+                               np.asarray(r2.ligand.x), atol=5e-4)
+    np.testing.assert_array_equal(np.asarray(r1.ligand.h),
+                                  np.asarray(r2.ligand.h))
