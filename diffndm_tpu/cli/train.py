@@ -57,6 +57,11 @@ def main(argv=None):
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--max_seconds", type=float, default=None,
                    help="wall-clock budget; stops after the current epoch")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="hparam override applied AFTER the resume merge "
+                        "(values yaml-parsed), e.g. --set lr=3e-4 for a "
+                        "low-LR continuation; repeatable")
     args = p.parse_args(argv)
 
     import jax
@@ -76,6 +81,12 @@ def main(argv=None):
     raw = load_yaml(args.config)
     if args.resume:
         raw = merge_resume_hparams(raw, args.resume)
+    for ov in args.overrides:
+        k, _, v = ov.partition("=")
+        if not _:
+            p.error(f"--set expects KEY=VALUE, got {ov!r}")
+        raw[k] = yaml.safe_load(v)
+        print(f"[override] {k} = {raw[k]!r}")
     mcfg = model_config_from_yaml(raw)
     lp = raw.get("loss_params", {})
     tcfg = TrainConfig(

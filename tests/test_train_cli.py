@@ -118,3 +118,18 @@ def test_resume_hparam_merge(tiny_run, capsys):
     merged = merge_resume_hparams(raw, str(outdir / "last"))
     assert merged["lr"] == 1.0e-3
     assert "overwritten" in capsys.readouterr().out
+
+
+def test_set_override_beats_resume_merge(tiny_run):
+    """--set KEY=VALUE applies AFTER the resume merge (the merge itself
+    follows the reference: checkpoint hparams win), so a deliberate
+    low-LR continuation is expressible: --set lr=3e-4."""
+    from diffndm_tpu.cli import train as train_cli
+
+    root, cfg_path = tiny_run
+    outdir = root / "runs" / "smoke"
+    train_cli.main(["--config", str(cfg_path), "--max_steps", "1",
+                    "--resume", str(outdir / "last"),
+                    "--set", "lr=3.0e-4", "--set", "run_name=smoke2"])
+    hp = yaml.safe_load(open(root / "runs" / "smoke2" / "hparams.yaml"))
+    assert hp["lr"] == pytest.approx(3.0e-4)
