@@ -42,6 +42,13 @@ BASELINE_GUIDED = 20.0 / 1080.0    # lig/s, estimate (SPSA+SVDD adds RDKit
 REF_EXAMPLE = "/root/reference/example"
 
 
+def _env_int(name, default):
+    """Int env knob: unset/empty -> default; <= 0 -> None (disabled)."""
+    raw = os.environ.get(name, "").strip()
+    val = int(raw) if raw else default
+    return val if val > 0 else None
+
+
 def _baseline_measured():
     """Measured CPU anchor for the baseline estimate, produced by
     scripts/measure_baseline_cpu.py (reference torch EGNN forward timed on
@@ -344,9 +351,11 @@ def main():
                                     "BENCH_FUSE_PROBES", "1") == "1"),
                 atp=ATPConfig(enabled=True),
                 # measured on v5e (3rfm, band 128): the k*2B probe
-                # forward prefers row_tile 16 over the trajectory's 8
-                fanout_row_tile=int(os.environ.get(
-                    "BENCH_FANOUT_ROW", 16)) or None)
+                # forward prefers row_tile 16 over the trajectory's 8.
+                # host_guided widens the fan-out band window by the
+                # tile delta, so the guaranteed per-row coverage (and
+                # hence g_exact below) is unchanged by this knob.
+                fanout_row_tile=_env_int("BENCH_FANOUT_ROW", 16))
             # Guided mode ships with approximate banding (default W=128,
             # BENCH_GUIDED_BAND=0 restores the exact window): the probe
             # rollouts and trajectory tolerate a slightly truncated

@@ -82,11 +82,21 @@ def main(argv=None):
     if args.resume:
         raw = merge_resume_hparams(raw, args.resume)
     for ov in args.overrides:
-        k, _, v = ov.partition("=")
-        if not _:
+        k, eq, v = ov.partition("=")
+        if not eq:
             p.error(f"--set expects KEY=VALUE, got {ov!r}")
-        raw[k] = yaml.safe_load(v)
-        print(f"[override] {k} = {raw[k]!r}")
+        # dotted paths reach nested hparam dicts: --set egnn_params.n_layers=6
+        cur, parts = raw, k.split(".")
+        for pk in parts[:-1]:
+            nxt = cur.setdefault(pk, {})
+            if not isinstance(nxt, dict):
+                p.error(f"--set {k}: {pk!r} is not a mapping")
+            cur = nxt
+        if parts[-1] not in cur:
+            print(f"[override] WARNING: {k!r} was not present in the "
+                  f"merged hparams — check for a typo")
+        cur[parts[-1]] = yaml.safe_load(v)
+        print(f"[override] {k} = {cur[parts[-1]]!r}")
     mcfg = model_config_from_yaml(raw)
     lp = raw.get("loss_params", {})
     tcfg = TrainConfig(

@@ -137,12 +137,25 @@ class HostGuidedSampler:
         batches, ATP/hybrid candidate rollouts).  When
         SampleConfig.fanout_row_tile is set, the big batches run with
         their own row tile (params are row-tile-independent — the tile
-        only shapes the banded gather/compute schedule)."""
+        only shapes the banded gather/compute schedule).
+
+        Banded mode: the sorted-band window is centred per row *tile*
+        (egnn.py win_start), so per-row guaranteed coverage is
+        (band_window - row_tile)/2 — a larger tile alone would shrink
+        it.  The window is therefore widened by the tile delta, which
+        preserves the guaranteed half-width exactly: any window that
+        was provably lossless for the trajectory's (W, tile) stays
+        provably lossless for the fan-out's (W + dt, tile + dt)."""
         rt = self.cfg.fanout_row_tile
-        if not rt or getattr(self.module.cfg, "row_tile", None) == rt:
+        base_rt = getattr(self.module.cfg, "row_tile", None)
+        if not rt or base_rt == rt:
             return self._eps_fn(params)
         import dataclasses as _dc
-        mod = type(self.module)(_dc.replace(self.module.cfg, row_tile=rt),
+        cfg2 = _dc.replace(self.module.cfg, row_tile=rt)
+        if cfg2.band_window is not None and rt > base_rt:
+            cfg2 = _dc.replace(
+                cfg2, band_window=cfg2.band_window + (rt - base_rt))
+        mod = type(self.module)(cfg2,
                                 atom_nf=self.module.atom_nf,
                                 residue_nf=self.module.residue_nf,
                                 n_dims=self.module.n_dims)

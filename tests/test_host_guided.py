@@ -124,3 +124,52 @@ def test_fanout_row_tile_matches_default(setup):
                                np.asarray(r2.ligand.x), atol=5e-4)
     np.testing.assert_array_equal(np.asarray(r1.ligand.h),
                                   np.asarray(r2.ligand.h))
+
+
+def test_fanout_row_tile_banded_exact_preserves_results():
+    """In banded mode the window is centred per row tile, so a larger
+    fan-out tile alone would shrink guaranteed per-row coverage;
+    _fanout_eps_fn widens the window by the tile delta to compensate.
+    With an exactness-satisfying window for BOTH (tile, window) pairs,
+    the guided samples must be identical to the default run."""
+    import dataclasses as dc
+
+    nl, npk = 8, 64
+    cfg = EGNNConfig(hidden_nf=16, joint_nf=8, n_layers=1, row_tile=8,
+                     attention=False, reflection_equivariant=True,
+                     edge_cutoff_pocket=5.0, edge_cutoff_interaction=5.0,
+                     band_window=48)
+    module = EGNNDynamics(cfg, atom_nf=ATOM_NF, residue_nf=ATOM_NF)
+    key = jax.random.PRNGKey(3)
+    params = module.init(key, jnp.zeros((1, nl, 13)),
+                         jnp.zeros((1, npk, 13)), jnp.zeros((1,)),
+                         jnp.ones((1, nl)), jnp.ones((1, npk)))
+    core = CondDiffusion(S.make_schedule("polynomial_2", T, 5e-4),
+                         DiffusionConfig(timesteps=T), ATOM_NF, ATOM_NF)
+    # a thin elongated pocket: small sorted-band half-width, so both
+    # (48, tile 8) and the widened (56, tile 16) windows are exact
+    zline = jnp.linspace(0.0, 2.0 * npk, npk)[None, :, None]
+    jitter = jax.random.normal(key, (1, npk, 3)) * 0.5
+    x = jnp.concatenate([jitter[..., :2],
+                         zline + jitter[..., 2:]], -1) + 4.0
+    pocket = NodeBatch(
+        x=jnp.broadcast_to(x, (2, npk, 3)),
+        h=jnp.broadcast_to(
+            jax.nn.one_hot(jax.random.randint(key, (1, npk), 0, 4),
+                           ATOM_NF), (2, npk, ATOM_NF)),
+        mask=jnp.ones((2, npk)))
+    from diffndm_tpu.models.banding import band_halfwidth_atoms
+    hw = band_halfwidth_atoms(np.asarray(pocket.x[:1]),
+                              np.asarray(pocket.mask[:1]), 5.0)
+    assert 48 >= 2 * hw + 8 and 56 >= 2 * hw + 16, hw
+
+    base = SampleConfig(
+        spsa=SPSAConfig(enabled=True, num_probes=2, start_step=4, every=2),
+        atp=ATPConfig(enabled=True, num_groups=3, start_step=6, every=3))
+    setup = (core, module, params, pocket)
+    r1 = run_host(setup, base)
+    r2 = run_host(setup, dc.replace(base, fanout_row_tile=16))
+    np.testing.assert_allclose(np.asarray(r1.ligand.x),
+                               np.asarray(r2.ligand.x), atol=5e-4)
+    np.testing.assert_array_equal(np.asarray(r1.ligand.h),
+                                  np.asarray(r2.ligand.h))
