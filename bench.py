@@ -6,10 +6,11 @@ sampling at the flagship configuration (hidden 256, 6 EGNN layers, T=500,
 Measures BOTH workloads and prints ONE JSON line:
 
 - headline metric: **guided SPSA+ATP throughput** (the project's
-  north-star, BASELINE.md; reference flags my_test.py:86-88) — composed
-  from the unguided per-step rate plus the measured guided-tail overhead
-  (all guidance events live at s <= 50, so a T=60 guided run captures
-  every event exactly once);
+  north-star, BASELINE.md; reference flags my_test.py:86-88) — the full
+  T-step run timed end-to-end (BENCH_FULL=1 default); with BENCH_FULL=0
+  it is composed from the unguided per-step rate plus the measured
+  guided-tail overhead (all guidance events live at s <= 50, so a T=60
+  guided run captures every event exactly once);
 - ``unguided`` sub-object: plain sampling throughput.
 
 Pocket: the real 3rfm pocket from the reference example when present

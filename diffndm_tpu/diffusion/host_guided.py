@@ -331,7 +331,13 @@ class HostGuidedSampler:
 
     def _spsa_probe(self, timesteps: int, num_probes: int):
         """All k probes in ONE dispatch (lax.map inside): a single
-        device<->host round trip per SPSA event instead of k."""
+        device<->host round trip per SPSA event instead of k.
+
+        The fused [k, +B|-B] layout mirrors guidance/spsa.py's fused
+        path; the pairing contract (rewards[:, :b] - rewards[:, b:])
+        is cross-pinned by test_host_matches_fused_with_guidance,
+        which runs both implementations with fuse_probes on and
+        asserts equal samples."""
         core = self.core
         n_dims = core.n_dims
 
