@@ -106,6 +106,13 @@ def main(argv=None):
                          "molecule to be one connected graph (a model "
                          "trained on fragmented point clouds faithfully "
                          "samples fragmented point clouds)")
+    ap.add_argument("--min_sa", type=float, default=None,
+                    help="drop ligands whose geometry-rebuilt molecule "
+                         "scores below this Ertl SA (mapped (10-s)/9, "
+                         "higher = easier to synthesise).  The model "
+                         "tracks its training distribution, so an SA "
+                         "floor lifts unguided sample SA the same way "
+                         "--require_connected lifted connectivity")
     ap.add_argument("--dedup", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="drop exact duplicates (same symbols + coords "
@@ -130,6 +137,7 @@ def main(argv=None):
 
     from diffndm_tpu.chem.bonds import build_molecule
     from diffndm_tpu.chem.io import read_sdf
+    from diffndm_tpu.chem.properties import sa_score
     from diffndm_tpu.chem.sanitize import (SanitizeError,
                                            connectivity_fraction,
                                            sanitize)
@@ -152,7 +160,7 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     pairs = []  # (lig_xyz, lig_oh, poc_xyz, poc_oh, name)
     n_skip_size = n_skip_type = n_skip_invalid = n_skip_dup = 0
-    n_skip_disconnected = 0
+    n_skip_disconnected = n_skip_sa = 0
     seen = set()
     files = []
     for d in sdf_dirs:
@@ -176,7 +184,8 @@ def main(argv=None):
                     n_skip_dup += 1
                     continue
                 seen.add(k)
-            if args.require_valid or args.require_connected:
+            if args.require_valid or args.require_connected \
+                    or args.min_sa is not None:
                 # keep the training distribution clean under the same
                 # oracle the eval uses (geometry-derived bonds)
                 built = build_molecule(xyz, types, dataset_info)
@@ -190,6 +199,10 @@ def main(argv=None):
                     except SanitizeError:
                         n_skip_invalid += 1
                         continue
+                if args.min_sa is not None and \
+                        sa_score(built) < args.min_sa:
+                    n_skip_sa += 1
+                    continue
             poc = synth_pocket(xyz, rng, min_self=args.pocket_min_self,
                                per_atom=args.pocket_per_atom
                                ).astype(np.float32)
@@ -240,7 +253,8 @@ def main(argv=None):
     np.save(os.path.join(args.out, "size_distribution.npy"), hist)
     print(f"kept {n} / skipped size={n_skip_size} type={n_skip_type} "
           f"disconnected={n_skip_disconnected} "
-          f"invalid={n_skip_invalid} dup={n_skip_dup}")
+          f"invalid={n_skip_invalid} low_sa={n_skip_sa} "
+          f"dup={n_skip_dup}")
 
 
 if __name__ == "__main__":
