@@ -28,6 +28,10 @@ BENCH_ROW_TILE, BENCH_BAND, BENCH_PALLAS[_ROW|_COL], BENCH_NEIGHBORS,
 BENCH_T_MEASURE, BENCH_FULL=1 (time the full T directly),
 BENCH_GUIDED=0 (skip the guided section), BENCH_SMALL=1 (tiny model for
 CPU smoke tests), DIFFNDM_TRACE_DIR (profiler trace).
+Non-parity (flagged via guided_reference_strength=false in the JSON):
+BENCH_SPSA_K / BENCH_ATP_GROUPS reduce the guidance fan-out below the
+reference's k=10 probes / G=5 branches for throughput-vs-strength
+sweeps.
 """
 
 import json
@@ -351,11 +355,21 @@ def main():
             guided_mode = ("host"
                            if os.environ.get("DIFFNDM_HOST_GUIDANCE") == "1"
                            or not supports_io_callback() else "fused")
+            # NON-PARITY opt-in knobs (flagged in the JSON when used):
+            # fewer SPSA probe pairs / ATP branches than the reference's
+            # k=10 / G=5 — the measured fan-out cost is linear in both,
+            # so these trade guidance strength for throughput.  The
+            # default (0 = reference counts) is the parity headline.
+            k_probes = int(os.environ.get("BENCH_SPSA_K", 0)) \
+                or SPSAConfig.num_probes
+            n_groups = int(os.environ.get("BENCH_ATP_GROUPS", 0)) \
+                or ATPConfig.num_groups
             gcfg = SampleConfig(
                 spsa=SPSAConfig(enabled=True,
+                                num_probes=k_probes,
                                 fuse_probes=os.environ.get(
                                     "BENCH_FUSE_PROBES", "1") == "1"),
-                atp=ATPConfig(enabled=True),
+                atp=ATPConfig(enabled=True, num_groups=n_groups),
                 # measured on v5e (3rfm, band 128): the k*2B probe
                 # forward prefers row_tile 16 over the trajectory's 8.
                 # host_guided widens the fan-out band window by the
@@ -432,6 +446,14 @@ def main():
                 "guided_full_run_measured": bool(full),
                 "guided_band_window": g_band or 0,
                 "guided_band_exact": bool(g_exact),
+                # parity flag: reference guidance strength is k=10
+                # probe pairs x 5 ATP groups; anything else is an
+                # explicitly non-parity configuration
+                "guided_reference_strength": bool(
+                    k_probes == SPSAConfig.num_probes
+                    and n_groups == ATPConfig.num_groups),
+                "spsa_probes": k_probes,
+                "atp_groups": n_groups,
                 "guided_step_ms": round(g_step_time * 1000, 2),
                 "unguided": {
                     "metric": "ligands_per_sec_per_chip_T500",

@@ -27,9 +27,10 @@ def _require(binary: str) -> str:
     path = shutil.which(binary)
     if path is None:
         raise DockingUnavailable(
-            f"{binary} binary not found on PATH; docking metrics are "
-            f"disabled in this environment (chem/scoring.py provides a "
-            f"native Vina-style rescoring fallback)")
+            f"{binary} binary not found on PATH; binary-parity docking "
+            f"is disabled in this environment (chem/scoring.py provides "
+            f"native Vina-style rescoring and chem/dock.py a native "
+            f"batched pose search — the qvina2 analogue)")
     return path
 
 

@@ -38,6 +38,15 @@ def main(argv=None):
                         "affinity estimate per file "
                         "(chem/scoring.py; smina parity when binaries "
                         "exist, chem/docking.py)")
+    p.add_argument("--dock", action="store_true",
+                   help="with --receptor: run the native batched pose "
+                        "SEARCH (chem/dock.py, the qvina2 analogue — "
+                        "docking.py:53-130) instead of rescoring the "
+                        "pose as-is; reports the best docked affinity "
+                        "per molecule (slower: seconds per molecule)")
+    p.add_argument("--dock_restarts", type=int, default=64,
+                   help="parallel restarts per molecule for --dock "
+                        "(qvina2 exhaustiveness analogue)")
     p.add_argument("--per_step", action="store_true",
                    help="group files by the trailing step number in their "
                         "names (e.g. try_100.sdf from the frame tap) and "
@@ -103,9 +112,24 @@ def main(argv=None):
         if scorer is not None:
             from diffndm_tpu.chem.io import read_sdf
 
-            vs = [scorer.score(m) for m in read_sdf(path)]
-            if vs:
-                affinity = f" Vina~={float(np.mean(vs)):.2f}"
+            if args.dock:
+                from diffndm_tpu.chem.dock import dock_molecule
+
+                vs = []
+                for i, m in enumerate(read_sdf(path)):
+                    try:
+                        vs.append(dock_molecule(
+                            m, scorer, n_restarts=args.dock_restarts,
+                            seed=i).affinity)
+                    except Exception:
+                        vs.append(float("nan"))
+                vs = [v for v in vs if np.isfinite(v)]
+                if vs:
+                    affinity = f" dock~={float(np.mean(vs)):.2f}"
+            else:
+                vs = [scorer.score(m) for m in read_sdf(path)]
+                if vs:
+                    affinity = f" Vina~={float(np.mean(vs)):.2f}"
         if valid:
             arr = np.array(valid, dtype=float)
             lines.append(
