@@ -101,3 +101,84 @@ def calculate_qvina2_score(receptor_file: str, sdf_file: str, out_dir: str,
 def docking_available() -> bool:
     return shutil.which("smina") is not None or \
         shutil.which("qvina2") is not None
+
+
+def _main(argv=None):
+    """Batch docking scorer over an SDF directory (reference
+    docking.py:133-197): ligand file names map to receptors by the
+    moad (``<receptor>_<pocket>_*.sdf``) or crossdocked (stem minus
+    4 chars) convention; scores written to ``qvina2_scores.csv``.
+    ``--engine native`` (default when no binaries exist) uses the
+    in-package batched pose search (chem/dock.py) against receptor
+    .pdb files instead of qvina2 against .pdbqt."""
+    import argparse
+    import csv
+    import glob
+    import json
+
+    ap = argparse.ArgumentParser(description="QuickVina evaluation")
+    ap.add_argument("--pdbqt_dir", type=str, required=True,
+                    help="receptor dir (.pdbqt for qvina2, .pdb for "
+                         "the native engine)")
+    ap.add_argument("--sdf_dir", type=str, default=None)
+    ap.add_argument("--sdf_files", type=str, nargs="+", default=None)
+    ap.add_argument("--out_dir", type=str, required=True)
+    ap.add_argument("--write_csv", action="store_true")
+    ap.add_argument("--write_dict", action="store_true",
+                    help="also write qvina2_scores.json (the reference "
+                         "pickles a torch dict; JSON here)")
+    ap.add_argument("--dataset", choices=("moad", "crossdocked"),
+                    default="moad")
+    ap.add_argument("--engine", choices=("qvina2", "native"),
+                    default="qvina2" if docking_available() else "native")
+    ap.add_argument("--restarts", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    assert (args.sdf_dir is None) ^ (args.sdf_files is None), \
+        "exactly one of --sdf_dir / --sdf_files"
+    os.makedirs(args.out_dir, exist_ok=True)
+    sdf_files = sorted(
+        p for p in glob.glob(os.path.join(args.sdf_dir, "*.sdf"))
+        if not os.path.basename(p).startswith(".")) \
+        if args.sdf_dir else list(args.sdf_files)
+
+    rows, as_dict = [], {}
+    for sdf in sdf_files:
+        stem = os.path.splitext(os.path.basename(sdf))[0]
+        if args.dataset == "moad":
+            receptor_name = stem.split("_")[0]
+        else:
+            receptor_name = stem[:-4]
+        ext = ".pdbqt" if args.engine == "qvina2" else ".pdb"
+        receptor = os.path.join(args.pdbqt_dir, receptor_name + ext)
+        try:
+            if args.engine == "qvina2":
+                scores = calculate_qvina2_score(receptor, sdf,
+                                                args.out_dir)
+            else:
+                from diffndm_tpu.chem.dock import \
+                    calculate_native_dock_score
+
+                scores = calculate_native_dock_score(
+                    receptor, sdf, n_restarts=args.restarts)
+        except (DockingUnavailable, FileNotFoundError) as e:
+            print(f"{stem}: skipped ({e})")
+            continue
+        print(f"{stem}: {['%.2f' % s for s in scores]}")
+        rows.append((receptor, sdf, scores))
+        as_dict[stem] = {"receptor": receptor, "ligand": sdf,
+                         "scores": scores}
+    if args.write_csv:
+        with open(os.path.join(args.out_dir, "qvina2_scores.csv"),
+                  "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["receptor", "ligand", "scores"])
+            w.writerows(rows)
+    if args.write_dict:
+        with open(os.path.join(args.out_dir, "qvina2_scores.json"),
+                  "w") as f:
+            json.dump(as_dict, f, indent=1)
+
+
+if __name__ == "__main__":
+    _main()

@@ -111,3 +111,53 @@ def test_dock_finds_favourable_pose_and_is_deterministic(rigid):
     res2 = dock_molecule(mol, scorer, n_restarts=12, steps=40,
                          mc_rounds=0, seed=0)
     assert res2.affinity == pytest.approx(res.affinity, abs=1e-5)
+
+
+def test_redock_artifact_claims():
+    """Pins the committed redocking artifact (examples/dock_redock.json,
+    scripts/dock_redock_eval.py): on both reference example complexes the
+    search found a pose scoring below the crystal pose's rescoring value
+    — the invariant the UNCALIBRATED function supports (sub-2-A pose
+    recovery needs a smina calibration, see chem/scoring.py)."""
+    import json
+    import os
+
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "dock_redock.json")
+    if not os.path.exists(art):
+        pytest.skip("dock_redock.json not generated")
+    d = json.load(open(art))
+    assert set(d["complexes"]) == {"3rfm", "5ndu"}
+    for name, row in d["complexes"].items():
+        assert row["improved_over_crystal"], (name, row)
+        assert row["docked_affinity"] < row["crystal_score"]
+        assert row["rmsd_best_to_crystal_A"] < 12.0, (name, row)
+
+
+def test_batch_docking_cli_native_engine(tmp_path):
+    """The reference's __main__ batch scorer (docking.py:133-197) with
+    the native engine: name-convention receptor lookup + csv/json out."""
+    import csv
+    import json
+    import shutil
+
+    from diffndm_tpu.chem.docking import _main
+
+    rec = tmp_path / "rec"
+    sdf = tmp_path / "sdf"
+    rec.mkdir()
+    sdf.mkdir()
+    shutil.copy(RIGID_PDB, rec / "3rfm.pdb")
+    shutil.copy(RIGID_SDF, sdf / "3rfm_B_gen.sdf")
+    out = tmp_path / "out"
+    _main(["--pdbqt_dir", str(rec), "--sdf_dir", str(sdf),
+           "--out_dir", str(out), "--write_csv", "--write_dict",
+           "--dataset", "moad", "--engine", "native",
+           "--restarts", "6"])
+    with open(out / "qvina2_scores.csv") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["receptor", "ligand", "scores"]
+    assert len(rows) == 2
+    d = json.load(open(out / "qvina2_scores.json"))
+    assert "3rfm_B_gen" in d
+    assert d["3rfm_B_gen"]["scores"][0] < 0.0
