@@ -39,6 +39,11 @@ def build_parser():
                    help="AdjustNet checkpoint to save after RL update")
     p.add_argument("--SVDD", type=int, default=0)
     p.add_argument("--SPSA", type=int, default=0)
+    p.add_argument("--w_connectivity", type=float, default=0.0,
+                   help="optional guidance-reward weight on the largest-"
+                        "fragment fraction (beyond the reference's "
+                        "reward set): steers SPSA/ATP toward connected "
+                        "molecules")
     p.add_argument("--w_vina", type=float, default=0.0,
                    help="optional affinity term in the guidance rewards: "
                         "reward += w_vina * (-Vina-style score) against "
@@ -64,11 +69,13 @@ def load_model(args):
     group_size = (args.n_samples
                   if getattr(args, "batch_pockets", 1) > 1 else None)
     w_vina = getattr(args, "w_vina", 0.0)
+    w_conn = getattr(args, "w_connectivity", 0.0)
     sample_cfg = SampleConfig(
         n_samples=args.n_samples,
-        spsa=SPSAConfig(enabled=bool(args.SPSA), w_vina=w_vina),
+        spsa=SPSAConfig(enabled=bool(args.SPSA), w_vina=w_vina,
+                        w_connectivity=w_conn),
         atp=ATPConfig(enabled=bool(args.SVDD), group_size=group_size,
-                      w_vina=w_vina),
+                      w_vina=w_vina, w_connectivity=w_conn),
         rl=RLConfig(enabled=bool(args.optimize),
                     train=bool(args.path_save)))
     if args.config:

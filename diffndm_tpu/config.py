@@ -106,6 +106,12 @@ class SPSAConfig:
     # w_vina * (-VinaScorer.score) when the oracle has a receptor
     # (RewardOracle.set_receptor); 0 = reference behaviour
     w_vina: float = 0.0
+    # OPTIONAL connectivity term (beyond the reference): reward +=
+    # w_connectivity * largest_fragment_fraction — steers SPSA ascent /
+    # ATP selection toward single-fragment molecules (guided sampling
+    # otherwise trades connectivity for QED/SA, which the reference's
+    # largest-fragment eval protocol never penalises); 0 = reference
+    w_connectivity: float = 0.0
     # one-off hybrid branch-ensemble + prune at s == start_step
     # (conditional_model.py:1261-1418)
     hybrid_prune: bool = True
@@ -149,6 +155,8 @@ class ATPConfig:
     w_sa: float = 2.0
     w_lipinski: float = 0.2
     w_vina: float = 0.0  # optional affinity term, see SPSAConfig.w_vina
+    # optional connectivity term, see SPSAConfig.w_connectivity
+    w_connectivity: float = 0.0
     logp_k: float = 20.0
     logp_lo: float = -1.0
     logp_hi: float = 5.0

@@ -440,7 +440,8 @@ class HostGuidedSampler:
     def _svdd_rewards_xt(self, x_flat, t_flat, lig_mask_flat):
         nx = self.core.cfg.norm_values[0]
         c = self.cfg.atp
-        w = (c.w_qed, c.w_sa, c.w_lipinski, c.logp_k, c.logp_lo, c.logp_hi)
+        w = (c.w_qed, c.w_sa, c.w_lipinski, c.logp_k, c.logp_lo, c.logp_hi,
+             getattr(c, "w_vina", 0.0), getattr(c, "w_connectivity", 0.0))
         return self.oracle.score_batch_types(
             np.asarray(x_flat) * nx, np.asarray(t_flat),
             np.asarray(lig_mask_flat), w)
@@ -448,7 +449,8 @@ class HostGuidedSampler:
     def _spsa_rewards_xt(self, x_flat, t_flat, lig_mask_flat):
         nx = self.core.cfg.norm_values[0]
         c = self.cfg.spsa
-        w = (c.w_qed, c.w_sa, c.w_lipinski, 0.0, 0.0, 0.0)
+        w = (c.w_qed, c.w_sa, c.w_lipinski, 0.0, 0.0, 0.0,
+             getattr(c, "w_vina", 0.0), getattr(c, "w_connectivity", 0.0))
         return self.oracle.score_batch_types(
             np.asarray(x_flat) * nx, np.asarray(t_flat),
             np.asarray(lig_mask_flat), w)

@@ -88,7 +88,7 @@ class RewardOracle:
 
     # -- host side ---------------------------------------------------------
     def _score_one(self, coords, types, w_qed, w_sa, w_lip, logp_k,
-                   logp_lo, logp_hi, w_vina=0.0) -> float:
+                   logp_lo, logp_hi, w_vina=0.0, w_conn=0.0) -> float:
         self.n_scored += 1
         try:
             mol = build_molecule(coords, types, self.dataset_info)
@@ -105,6 +105,10 @@ class RewardOracle:
                   * _sigmoid(-logp_k * (lp - logp_hi)))
         if w_vina > 0 and self.scorer is not None:
             r += w_vina * (-self.scorer.score(mol))
+        if w_conn > 0:
+            from diffndm_tpu.chem.sanitize import connectivity_fraction
+
+            r += w_conn * connectivity_fraction(mol)
         return float(r)
 
     def score_batch_host(self, coords: np.ndarray, h: np.ndarray,
@@ -122,11 +126,12 @@ class RewardOracle:
         rewards: the first scoring step is this argmax either way)."""
         w_qed, w_sa, w_lip, logp_k, logp_lo, logp_hi = weights[:6]
         w_vina = weights[6] if len(weights) > 6 else 0.0
+        w_conn = weights[7] if len(weights) > 7 else 0.0
         coords = np.asarray(coords)
         types = np.asarray(types)
         mask = np.asarray(mask) > 0.5
         out = np.zeros(coords.shape[0], dtype=np.float32)
-        if self.native is not None and w_vina == 0:
+        if self.native is not None and w_vina == 0 and w_conn == 0:
             rewards, nat_ok, terms = self.native.score(
                 coords, types, mask, weights[:6])
             self.n_scored += int(nat_ok.sum())
@@ -152,7 +157,7 @@ class RewardOracle:
             for b, (c, t) in enumerate(items):
                 out[b] = self._score_one(c, t, w_qed, w_sa, w_lip,
                                          logp_k, logp_lo, logp_hi,
-                                         w_vina)
+                                         w_vina, w_conn)
         return out
 
     def _get_pool(self):
@@ -171,10 +176,10 @@ class RewardOracle:
                  mask: jnp.ndarray, w_qed: float, w_sa: float,
                  w_lipinski: float, logp_k: float = 0.0,
                  logp_lo: float = 0.0, logp_hi: float = 0.0,
-                 w_vina: float = 0.0) -> jnp.ndarray:
+                 w_vina: float = 0.0, w_conn: float = 0.0) -> jnp.ndarray:
         """Jit-safe reward evaluation: [B] float32."""
         weights = (w_qed, w_sa, w_lipinski, logp_k, logp_lo, logp_hi,
-                   w_vina)
+                   w_vina, w_conn)
         host = partial(self.score_batch_host, weights=weights)
         b = coords.shape[0]
         return io_callback(
@@ -185,13 +190,15 @@ class RewardOracle:
     def spsa_rewards(self, coords, h, mask, cfg) -> jnp.ndarray:
         return self.callback(coords, h, mask, cfg.w_qed, cfg.w_sa,
                              cfg.w_lipinski,
-                             w_vina=getattr(cfg, "w_vina", 0.0))
+                             w_vina=getattr(cfg, "w_vina", 0.0),
+                             w_conn=getattr(cfg, "w_connectivity", 0.0))
 
     def svdd_rewards(self, coords, h, mask, cfg) -> jnp.ndarray:
         return self.callback(coords, h, mask, cfg.w_qed, cfg.w_sa,
                              cfg.w_lipinski, cfg.logp_k, cfg.logp_lo,
                              cfg.logp_hi,
-                             w_vina=getattr(cfg, "w_vina", 0.0))
+                             w_vina=getattr(cfg, "w_vina", 0.0),
+                             w_conn=getattr(cfg, "w_connectivity", 0.0))
 
     def rl_reward_host(self, coords, h, mask, cfg) -> float:
         """Scalar mean reward for the REINFORCE update (host-side)."""
@@ -208,5 +215,6 @@ def _score_star(dataset_info, weights, item):
     oracle = RewardOracle(dataset_info)
     c, t = item
     w_qed, w_sa, w_lip, logp_k, logp_lo, logp_hi = weights[:6]
+    w_conn = weights[7] if len(weights) > 7 else 0.0
     return oracle._score_one(c, t, w_qed, w_sa, w_lip, logp_k, logp_lo,
-                             logp_hi)
+                             logp_hi, w_conn=w_conn)

@@ -38,6 +38,10 @@ def main(argv=None):
     ap.add_argument("--T", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--w_connectivity", type=float, default=0.0,
+                    help="opt-in guidance-reward connectivity weight "
+                         "(SPSAConfig/ATPConfig.w_connectivity; beyond "
+                         "the reference's reward set)")
     args = ap.parse_args(argv)
 
     import jax
@@ -80,8 +84,11 @@ def main(argv=None):
                                                len(ds.pairs)),
                        replace=False)
 
-    gcfg = SampleConfig(spsa=SPSAConfig(enabled=True),
-                        atp=ATPConfig(enabled=True))
+    gcfg = SampleConfig(
+        spsa=SPSAConfig(enabled=True,
+                        w_connectivity=args.w_connectivity),
+        atp=ATPConfig(enabled=True,
+                      w_connectivity=args.w_connectivity))
     guided_model = DiffNDM(mcfg, sample_cfg=gcfg, size_histogram=hist)
     guided_model.set_params(model.params)
 
@@ -172,6 +179,9 @@ def main(argv=None):
               "sa_lift": guided["sa"] - unguided["sa"],
               "ckpt": ckpt, "T": args.T,
               "n_pockets": len(picks), "n_samples": args.n_samples}
+    if args.w_connectivity:
+        # flag non-reference reward configurations in the artifact
+        result["w_connectivity"] = args.w_connectivity
     print(json.dumps({k: result[k] for k in
                       ("qed_lift", "sa_lift")}))
     if args.json:

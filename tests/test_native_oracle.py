@@ -164,3 +164,43 @@ def test_oversized_molecule_falls_back_to_python():
     oracle.native = None
     r_py = oracle.score_batch_host(coords, onehot, mask, WEIGHTS)
     np.testing.assert_array_equal(r_mixed, r_py)
+
+
+def test_connectivity_reward_term():
+    """Opt-in w_connectivity (weights[7]) adds w * largest-fragment
+    fraction and routes around the native scorer (which computes the
+    reference's reward exactly and nothing more)."""
+    from diffndm_tpu.chem.io import read_sdf
+    from diffndm_tpu.chem.sanitize import connectivity_fraction
+    from diffndm_tpu.guidance.oracle import RewardOracle
+
+    mol = read_sdf(REF_SDF)[0]
+    c1 = np.asarray(mol.coords, np.float32)
+    t1 = np.asarray([ENC[s] for s in mol.symbols])
+    # two copies of the same molecule 50 A apart: one valid molecule
+    # whose largest fragment holds half the atoms
+    c2 = np.concatenate([c1, c1 + 50.0])
+    t2 = np.concatenate([t1, t1])
+    coords, types, mask = _pad([(c1, t1), (c2, t2)])
+    oracle = RewardOracle(DI)
+    base = oracle.score_batch_types(coords, types, mask, WEIGHTS)
+    w_conn = 0.7
+    with_conn = oracle.score_batch_types(coords, types, mask,
+                                         WEIGHTS + (0.0, w_conn))
+    # connected molecule: bonus = w (fraction 1.0); the split molecule
+    # (if it sanitizes) gets w * its largest-fragment fraction
+    from diffndm_tpu.chem.bonds import build_molecule
+    from diffndm_tpu.chem.sanitize import SanitizeError, sanitize
+
+    for b, (cc, tt) in enumerate([(c1, t1), (c2, t2)]):
+        try:
+            m = build_molecule(cc, tt, DI)
+            sanitize(m)
+        except SanitizeError:
+            assert with_conn[b] == base[b] == 0.0
+            continue
+        frac = connectivity_fraction(m)
+        assert with_conn[b] == pytest.approx(base[b] + w_conn * frac,
+                                             abs=1e-5)
+    # sanity: at least the single-fragment row must be valid + full bonus
+    assert with_conn[0] == pytest.approx(base[0] + w_conn, abs=1e-5)
