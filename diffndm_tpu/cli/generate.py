@@ -39,6 +39,11 @@ def build_parser():
                    help="AdjustNet checkpoint to save after RL update")
     p.add_argument("--SVDD", type=int, default=0)
     p.add_argument("--SPSA", type=int, default=0)
+    p.add_argument("--noise_scale", type=float, default=1.0,
+                   help="low-temperature sampling: scale on the noise "
+                        "injected at each reverse step (beyond the "
+                        "reference; 1.0 = reference parity, <1 trades "
+                        "diversity for typicality)")
     p.add_argument("--w_connectivity", type=float, default=0.0,
                    help="optional guidance-reward weight on the largest-"
                         "fragment fraction (beyond the reference's "
@@ -72,6 +77,7 @@ def load_model(args):
     w_conn = getattr(args, "w_connectivity", 0.0)
     sample_cfg = SampleConfig(
         n_samples=args.n_samples,
+        noise_scale=getattr(args, "noise_scale", 1.0),
         spsa=SPSAConfig(enabled=bool(args.SPSA), w_vina=w_vina,
                         w_connectivity=w_conn),
         atp=ATPConfig(enabled=bool(args.SVDD), group_size=group_size,

@@ -217,6 +217,12 @@ class SampleConfig:
     sanitize: bool = False
     relax_iter: int = 0
     largest_frag: bool = False
+    # OPTIONAL low-temperature sampling (beyond the reference): scales
+    # the noise injected at every REVERSE step (trajectory, ATP/hybrid
+    # candidate branches) while keeping the posterior mean and all
+    # forward/re-noising steps exact.  < 1.0 trades sample diversity for
+    # typicality (often higher validity/QED); 1.0 = reference parity.
+    noise_scale: float = 1.0
     # row_tile override for the guidance fan-out forwards (SPSA k*2B
     # probe batches, ATP/hybrid candidate rollouts) in the
     # host-orchestrated sampler.  The big fused batches prefer a wider

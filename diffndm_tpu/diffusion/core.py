@@ -121,7 +121,8 @@ class CondDiffusion(NamedTuple):
     # -- single reverse step (conditional_model.py:483-540) ---------------
     def sample_p_zs_given_zt(self, key, s_norm, t_norm, z_lig, xh_pocket,
                              lig_mask, pocket_mask, eps_fn: EpsFn,
-                             adjust_fn=None, fix_noise: bool = False):
+                             adjust_fn=None, fix_noise: bool = False,
+                             noise_scale: float = 1.0):
         """One denoising step t -> s with *normalized* times in [0, 1]
         ([B] or scalar) — gamma lookup rounds t*T like the reference
         (en_diffusion.py:1193-1195), so sampling with timesteps != T works.
@@ -129,6 +130,12 @@ class CondDiffusion(NamedTuple):
         adjust_fn: optional policy z_t -> adjustment added to eps_hat (the
         AdjustNet hook, conditional_model.py:509-516); returns
         (z_s, xh_pocket, log_prob_adjust, eps_lig_pre_adjustment).
+
+        noise_scale: OPTIONAL low-temperature sampling (beyond the
+        reference, SampleConfig.noise_scale): the posterior mean is kept
+        exact and only the injected noise is scaled — a standard
+        sample-quality/diversity trade.  1.0 = reference parity (the
+        scaling branch is not even traced).
         """
         b = z_lig.shape[0]
         s_norm = jnp.broadcast_to(s_norm, (b,))
@@ -154,6 +161,8 @@ class CondDiffusion(NamedTuple):
         mu = (z_lig / _b11(alpha_ts)
               - _b11(sig2_ts / alpha_ts / sigma_t) * eps_lig)
         sigma = sig_ts * sigma_s / sigma_t
+        if noise_scale != 1.0:
+            sigma = sigma * noise_scale
         z_s, xh_pocket = self.sample_normal_zero_com(
             key, mu, xh_pocket, sigma, lig_mask, pocket_mask, fix_noise)
         return z_s, xh_pocket, log_prob_adjust, eps_pre

@@ -207,7 +207,8 @@ class HostGuidedSampler:
                 t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
                 z, xh_p, lpa, _ = core.sample_p_zs_given_zt(
                     k1, s_norm, t_norm, z, xh_p, lig_mask, pocket_mask,
-                    eps_fn, adjust_fn=adjust_fn)
+                    eps_fn, adjust_fn=adjust_fn,
+                    noise_scale=self.cfg.noise_scale)
                 return (z, xh_p, lp + lpa), None
 
             (z, xh_p, lp_sum), _ = jax.lax.scan(
@@ -238,7 +239,7 @@ class HostGuidedSampler:
             def branch(bk):
                 z_b, xh_b, _, _ = core.sample_p_zs_given_zt(
                     bk, s_norm, t_norm, z, xh_p, lig_mask, pocket_mask,
-                    eps_fn)
+                    eps_fn, noise_scale=self.cfg.noise_scale)
                 return z_b, xh_b
 
             zb, xhb = jax.lax.map(branch,
@@ -280,7 +281,7 @@ class HostGuidedSampler:
                 k1, k2 = jax.random.split(bk)
                 z_b, xh_b, _, _ = core.sample_p_zs_given_zt(
                     k1, s_norm, t_norm, z, xh_p, lig_mask, pocket_mask,
-                    eps_fn)
+                    eps_fn, noise_scale=self.cfg.noise_scale)
                 return z_b, xh_b, k2
 
             zb, xhb, k2s = jax.lax.map(branch, bks)

@@ -91,7 +91,8 @@ class HostGuidedInpainter(HostGuidedSampler):
             s_norm = s.astype(jnp.float32) / timesteps
             t_norm = (s.astype(jnp.float32) + 1.0) / timesteps
             z_unknown, xh_p, _, _ = core.sample_p_zs_given_zt(
-                k1, s_norm, t_norm, z, xh_p, lm, pm, eps_fn)
+                k1, s_norm, t_norm, z, xh_p, lm, pm, eps_fn,
+                noise_scale=self.cfg.noise_scale)
             return z_unknown, xh_p
 
         return jax.jit(fn)
@@ -140,7 +141,8 @@ class HostGuidedInpainter(HostGuidedSampler):
                     k1, k2, k3, k4 = jax.random.split(
                         jax.random.fold_in(k_s, u), 4)
                     z_unknown, xh_p2, _, _ = core.sample_p_zs_given_zt(
-                        k1, s_norm, t_norm, z, xh_p, lm, pm, eps_fn)
+                        k1, s_norm, t_norm, z, xh_p, lm, pm, eps_fn,
+                        noise_scale=self.cfg.noise_scale)
                     z, xh_p2 = repaint_combine(
                         core, z_unknown, xh_p2, lm, pm, fixed, l_x, l_h,
                         com_p0, gamma_s, gamma_t, k3, k4, u, resamplings)

@@ -144,7 +144,8 @@ def build_inpaint_run(core: CondDiffusion, eps_fn_builder, cfg: SampleConfig,
                 gamma_t = core.schedule(jnp.broadcast_to(t_norm, (b,)))
 
                 z_unknown, xh_p, _, _ = core.sample_p_zs_given_zt(
-                    k1, s_norm, t_norm, z, xh_p, lm, pm, eps_fn)
+                    k1, s_norm, t_norm, z, xh_p, lm, pm, eps_fn,
+                    noise_scale=cfg.noise_scale)
 
                 if spsa_enabled:
                     active = ((s >= icfg.spsa_low) & (s <= icfg.spsa_high)
@@ -182,7 +183,8 @@ def build_inpaint_run(core: CondDiffusion, eps_fn_builder, cfg: SampleConfig,
                     z_, xh_, lm_, pm_, fx_, lx_, lh_, cp_, rs_ = args
                     z_, xh_, lm_, pm_, sel = atp_prune(
                         k_atp, core, eps_fn, oracle, z_, xh_, lm_, pm_,
-                        s_norm, t_norm, s, cfg.atp)
+                        s_norm, t_norm, s, cfg.atp,
+                        noise_scale=cfg.noise_scale)
                     rs = sel % b
                     return (z_, xh_, lm_, pm_, fx_[rs], lx_[rs], lh_[rs],
                             cp_[rs], rs_[rs])

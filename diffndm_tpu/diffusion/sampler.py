@@ -133,7 +133,8 @@ class ConditionalSampler:
                 z_pre = z
                 z, xh_p, lp, eps_pre = core.sample_p_zs_given_zt(
                     k1, s_norm, t_norm, z, xh_p, lm, pm,
-                    eps_fn, adjust_fn=adjust_fn)
+                    eps_fn, adjust_fn=adjust_fn,
+                    noise_scale=cfg.noise_scale)
                 lp_sum = lp_sum + lp
                 count = count + 1.0
 
@@ -146,7 +147,8 @@ class ConditionalSampler:
                         z_, xh_, lm_, pm_, sel = atp_prune(
                             k2, core, eps_fn, oracle, z_, xh_, lm_, pm_,
                             s_norm, t_norm, s, cfg.atp,
-                            adjust_fn=adjust_fn)
+                            adjust_fn=adjust_fn,
+                            noise_scale=cfg.noise_scale)
                         return z_, xh_, lm_, pm_, rs_[sel % b]
 
                     z, xh_p, lm, pm, row_src = jax.lax.cond(
@@ -176,7 +178,8 @@ class ConditionalSampler:
                             z_, xh_, lm_, pm_, sel = hybrid_spsa_prune(
                                 k4, core, eps_fn, oracle, z_, xh_, lm_,
                                 pm_, s_norm, t_norm, s, cfg.atp, cfg.spsa,
-                                zeta, adjust_fn=adjust_fn)
+                                zeta, adjust_fn=adjust_fn,
+                                noise_scale=cfg.noise_scale)
                             return z_, xh_, lm_, pm_, rs_[sel % b]
 
                         # reference nests the hybrid inside the SPSA-active

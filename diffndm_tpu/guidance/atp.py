@@ -93,7 +93,7 @@ def gather_selected(sel_idx, z_flat, xh_flat, lig_mask, pocket_mask,
 def hybrid_spsa_prune(key, core: CondDiffusion, eps_fn, oracle,
                       z_lig, xh_pocket, lig_mask, pocket_mask, s_norm,
                       t_norm, s_step, atp_cfg, spsa_cfg, zeta,
-                      adjust_fn=None):
+                      adjust_fn=None, noise_scale: float = 1.0):
     """The reference's one-off hybrid event at s == spsa.start_step
     (conditional_model.py:1261-1418): G-1 extra branches are sampled, each
     branch gets its own SPSA update, then the G-group ensemble is scored
@@ -115,7 +115,7 @@ def hybrid_spsa_prune(key, core: CondDiffusion, eps_fn, oracle,
         k1, k2 = jax.random.split(bk)
         z_b, xh_b, _, _ = core.sample_p_zs_given_zt(
             k1, s_norm, t_norm, z_lig, xh_pocket, lig_mask, pocket_mask,
-            eps_fn, adjust_fn=adjust_fn)
+            eps_fn, adjust_fn=adjust_fn, noise_scale=noise_scale)
         branch_zeta = jnp.where(i >= 2, spsa_cfg.zeta0, zeta)
         z_b, xh_b = spsa_update(k2, core, eps_fn, oracle, z_b, xh_b,
                                 lig_mask, pocket_mask, t_norm, branch_zeta,
@@ -157,7 +157,8 @@ def hybrid_spsa_prune(key, core: CondDiffusion, eps_fn, oracle,
 
 def atp_prune(key, core: CondDiffusion, eps_fn, oracle: RewardOracle,
               z_lig, xh_pocket, lig_mask, pocket_mask, s_norm, t_norm,
-              s_step, cfg: ATPConfig, adjust_fn=None):
+              s_step, cfg: ATPConfig, adjust_fn=None,
+              noise_scale: float = 1.0):
     """One pruning event. z_lig: [B, NL, D]; returns
     (z_lig, xh_pocket, lig_mask, pocket_mask, sel_idx) — masks are gathered
     alongside the candidates (see gather_selected) and must replace the
@@ -173,7 +174,7 @@ def atp_prune(key, core: CondDiffusion, eps_fn, oracle: RewardOracle,
     def branch(bk):
         z_b, xh_b, _, _ = core.sample_p_zs_given_zt(
             bk, s_norm, t_norm, z_lig, xh_pocket, lig_mask, pocket_mask,
-            eps_fn, adjust_fn=adjust_fn)
+            eps_fn, adjust_fn=adjust_fn, noise_scale=noise_scale)
         return z_b, xh_b
 
     zb, xhb = jax.lax.map(branch, jax.random.split(k_branch, g_extra))

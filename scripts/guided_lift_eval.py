@@ -42,6 +42,10 @@ def main(argv=None):
                     help="opt-in guidance-reward connectivity weight "
                          "(SPSAConfig/ATPConfig.w_connectivity; beyond "
                          "the reference's reward set)")
+    ap.add_argument("--noise_scale", type=float, default=1.0,
+                    help="opt-in low-temperature sampling applied to "
+                         "BOTH modes (SampleConfig.noise_scale; beyond "
+                         "the reference; flagged in the JSON)")
     args = ap.parse_args(argv)
 
     import jax
@@ -57,7 +61,9 @@ def main(argv=None):
     hist_path = os.path.join(os.path.dirname(args.data),
                              "size_distribution.npy")
     hist = np.load(hist_path) if os.path.exists(hist_path) else None
-    model = DiffNDM(mcfg, size_histogram=hist)
+    model = DiffNDM(mcfg, size_histogram=hist,
+                    sample_cfg=SampleConfig(
+                        noise_scale=args.noise_scale))
     ckpt = os.path.join(args.run, args.ckpt)
     if not os.path.isdir(ckpt):
         ckpt = os.path.join(args.run, "last")
@@ -85,6 +91,7 @@ def main(argv=None):
                        replace=False)
 
     gcfg = SampleConfig(
+        noise_scale=args.noise_scale,
         spsa=SPSAConfig(enabled=True,
                         w_connectivity=args.w_connectivity),
         atp=ATPConfig(enabled=True,
@@ -182,6 +189,8 @@ def main(argv=None):
     if args.w_connectivity:
         # flag non-reference reward configurations in the artifact
         result["w_connectivity"] = args.w_connectivity
+    if args.noise_scale != 1.0:
+        result["noise_scale"] = args.noise_scale
     print(json.dumps({k: result[k] for k in
                       ("qed_lift", "sa_lift")}))
     if args.json:

@@ -134,3 +134,49 @@ def test_learned_gamma_monotone():
     gam = core.schedule(jnp.array([0.3, 0.7]))
     assert gam.shape == (2,)
     assert float(gam[1]) > float(gam[0])
+
+
+def test_noise_scale_semantics():
+    """Low-temperature reverse step (SampleConfig.noise_scale): the
+    posterior mean is untouched, only the injected noise scales —
+    noise_scale=0 equals fix_noise (deterministic mean) and the deviation
+    from the mean is exactly linear in the scale under identical keys."""
+    core = make_core()
+    key = jax.random.PRNGKey(3)
+    kx, kstep = jax.random.split(key)
+    b, nl, npk, d = 2, 6, 8, 13
+    z = jax.random.normal(kx, (b, nl, d))
+    xh_p = jax.random.normal(kx, (b, npk, d))
+    lm = jnp.ones((b, nl))
+    pm = jnp.ones((b, npk))
+    # remove ligand-COM so inputs are in the sampler's subspace
+    from diffndm_tpu.diffusion.core import remove_mean_ligand
+
+    zx, px = remove_mean_ligand(z[..., :3], xh_p[..., :3], lm, pm)
+    z = jnp.concatenate([zx, z[..., 3:]], -1)
+    xh_p = jnp.concatenate([px, xh_p[..., 3:]], -1)
+
+    def eps_fn(z_lig, xh_pocket, t, lig_mask, pocket_mask):
+        return z_lig * 0.1, None
+
+    s_norm, t_norm = 0.3, 0.31
+
+    def step(scale, fix=False):
+        out, _, _, _ = core.sample_p_zs_given_zt(
+            kstep, s_norm, t_norm, z, xh_p, lm, pm, eps_fn,
+            fix_noise=fix, noise_scale=scale)
+        return out
+
+    mean = step(0.0)
+    np.testing.assert_allclose(np.asarray(mean),
+                               np.asarray(step(1.0, fix=True)),
+                               atol=1e-6)
+    full = step(1.0)
+    half = step(0.5)
+    np.testing.assert_allclose(np.asarray(half - mean),
+                               0.5 * np.asarray(full - mean), atol=1e-5)
+    # default parity: noise_scale=1.0 is the same program as before
+    out_default, _, _, _ = core.sample_p_zs_given_zt(
+        kstep, s_norm, t_norm, z, xh_p, lm, pm, eps_fn)
+    np.testing.assert_array_equal(np.asarray(full),
+                                  np.asarray(out_default))
