@@ -35,6 +35,11 @@ def build_parser():
     p.add_argument("--spsa", type=int, default=0)
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--noise_scale", type=float, default=1.0,
+                   help="low-temperature sampling (see cli/generate)")
+    p.add_argument("--w_connectivity", type=float, default=0.0,
+                   help="opt-in connectivity guidance-reward weight "
+                        "(see cli/generate)")
     return p
 
 

@@ -43,6 +43,11 @@ def main(argv=None):
     p.add_argument("--frag_fraction", type=float, default=0.25)
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--noise_scale", type=float, default=1.0,
+                   help="low-temperature sampling (see cli/generate)")
+    p.add_argument("--w_connectivity", type=float, default=0.0,
+                   help="opt-in connectivity guidance-reward weight "
+                        "(see cli/generate)")
     p.add_argument("--resume", action="store_true",
                    help="skip pockets whose output SDF already exists "
                         "(restart a crashed sweep without redoing work)")
