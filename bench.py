@@ -364,12 +364,19 @@ def main():
                 or SPSAConfig.num_probes
             n_groups = int(os.environ.get("BENCH_ATP_GROUPS", 0)) \
                 or ATPConfig.num_groups
+            # BENCH_GROUP: ATP selection scope for multi-pocket batches
+            # (BENCH_B = n_pockets * BENCH_GROUP rows of the same pocket
+            # here, but selection must stay within each pocket's rows to
+            # represent a real multi-pocket sweep — cli/sweep.py
+            # --batch_pockets semantics)
+            group = _env_int("BENCH_GROUP", 0)
             gcfg = SampleConfig(
                 spsa=SPSAConfig(enabled=True,
                                 num_probes=k_probes,
                                 fuse_probes=os.environ.get(
                                     "BENCH_FUSE_PROBES", "1") == "1"),
-                atp=ATPConfig(enabled=True, num_groups=n_groups),
+                atp=ATPConfig(enabled=True, num_groups=n_groups,
+                              group_size=group),
                 # measured on v5e (3rfm, band 128): the k*2B probe
                 # forward prefers row_tile 16 over the trajectory's 8.
                 # host_guided widens the fan-out band window by the
@@ -454,6 +461,7 @@ def main():
                     and n_groups == ATPConfig.num_groups),
                 "spsa_probes": k_probes,
                 "atp_groups": n_groups,
+                "atp_group_size": group or 0,
                 "guided_step_ms": round(g_step_time * 1000, 2),
                 "unguided": {
                     "metric": "ligands_per_sec_per_chip_T500",
