@@ -113,17 +113,16 @@ def main(argv=None):
             from diffndm_tpu.chem.io import read_sdf
 
             if args.dock:
-                from diffndm_tpu.chem.dock import dock_molecule
+                from diffndm_tpu.chem.dock import dock_molecules
 
-                vs = []
-                for i, m in enumerate(read_sdf(path)):
-                    try:
-                        vs.append(dock_molecule(
-                            m, scorer, n_restarts=args.dock_restarts,
-                            seed=i).affinity)
-                    except Exception:
-                        vs.append(float("nan"))
-                vs = [v for v in vs if np.isfinite(v)]
+                try:
+                    batch = dock_molecules(
+                        read_sdf(path), scorer,
+                        n_restarts=args.dock_restarts)
+                    vs = [r.affinity for r in batch if r is not None
+                          and np.isfinite(r.affinity)]
+                except Exception:
+                    vs = []
                 if vs:
                     affinity = f" dock~={float(np.mean(vs)):.2f}"
             else:

@@ -113,6 +113,32 @@ def test_dock_finds_favourable_pose_and_is_deterministic(rigid):
     assert res2.affinity == pytest.approx(res.affinity, abs=1e-5)
 
 
+def test_batched_docking_matches_semantics(rigid, flex_mol):
+    """dock_molecules buckets by padded shape and runs one jitted
+    [M, P] optimisation per bucket; padded torsion axes (a == b) and
+    padded intra pairs sit at exactly zero distance, which NaNs the
+    gradient through jnp.linalg.norm — _safe_norm keeps it finite
+    (regression for the batched-path NaN)."""
+    from diffndm_tpu.chem.dock import dock_molecules
+
+    mol, scorer = rigid
+    res = dock_molecules([mol, None, flex_mol], scorer, n_restarts=8,
+                         steps=30, mc_rounds=0, seed=0)
+    assert res[1] is None
+    # rigid molecule lands in a bucket with k_pad=4 padded torsions —
+    # the NaN regression case; a finite favourable pose must come out
+    assert np.isfinite(res[0].affinity) and res[0].affinity < 0.0
+    assert res[0].coords.shape == (mol.n_atoms, 3)
+    assert np.isfinite(res[0].coords).all()
+    # flex_mol is docked against the WRONG receptor here (3rfm); only
+    # shape handling is asserted
+    assert res[2].coords.shape == (flex_mol.n_atoms, 3)
+    assert np.isfinite(res[2].coords).all()
+    res2 = dock_molecules([mol, None, flex_mol], scorer, n_restarts=8,
+                          steps=30, mc_rounds=0, seed=0)
+    assert res2[0].affinity == pytest.approx(res[0].affinity, abs=1e-5)
+
+
 def test_redock_artifact_claims():
     """Pins the committed redocking artifact (examples/dock_redock.json,
     scripts/dock_redock_eval.py): on both reference example complexes the
