@@ -18,7 +18,12 @@ def build_parser():
                    help="SDF with the starting ligand (also pocket ref)")
     p.add_argument("--outfile", type=str, required=True)
     p.add_argument("--objective", type=str, default="qed",
-                   choices=("qed", "sa"))
+                   choices=("qed", "sa", "vina"),
+                   help="qed/sa = reference objectives (optimize.py:"
+                        "207-242); vina = native structure-based "
+                        "affinity vs the --pdbfile receptor (beyond the "
+                        "reference; chem/scoring.py, lower-is-better "
+                        "negated so evolution maximises)")
     p.add_argument("--population_size", type=int, default=100)
     p.add_argument("--evolution_steps", type=int, default=10)
     p.add_argument("--top_k", type=int, default=7)
@@ -46,8 +51,14 @@ def main(argv=None):
     args.n_samples = args.population_size
     model = load_model(args)
     props = MoleculeProperties()
-    score_fn = (props.calculate_qed if args.objective == "qed"
-                else props.calculate_sa)
+    if args.objective == "vina":
+        from diffndm_tpu.chem.scoring import VinaScorer
+
+        _vs = VinaScorer.from_pdb(args.pdbfile)
+        score_fn = lambda m: -_vs.score(m)  # noqa: E731
+    else:
+        score_fn = (props.calculate_qed if args.objective == "qed"
+                    else props.calculate_sa)
 
     mol0 = read_sdf(args.ref_ligand)[0]
     enc = {k: v for k, v in model.dataset_info["atom_encoder"].items()

@@ -126,6 +126,16 @@ def test_optimize_cli_end_to_end(tmp_path):
 
     assert len(read_sdf(str(out))) >= 1
 
+    # vina objective: native structure-based affinity vs the receptor
+    # (beyond the reference's qed/sa pair)
+    out2 = tmp_path / "opt_vina.sdf"
+    main(["none", "--pdbfile", "/root/reference/example/3rfm.pdb",
+          "--ref_ligand", "/root/reference/example/3rfm_B_CFF.sdf",
+          "--outfile", str(out2), "--objective", "vina",
+          "--population_size", "4", "--evolution_steps", "1",
+          "--top_k", "2", "--timesteps", "4", "--config", str(cfg_path)])
+    assert out2.exists()
+
 
 def test_plot_curves_from_metrics_jsonl(tmp_path):
     import json
