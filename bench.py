@@ -360,9 +360,9 @@ def main():
             # k=10 / G=5 — the measured fan-out cost is linear in both,
             # so these trade guidance strength for throughput.  The
             # default (0 = reference counts) is the parity headline.
-            k_probes = int(os.environ.get("BENCH_SPSA_K", 0)) \
+            k_probes = _env_int("BENCH_SPSA_K", 0) \
                 or SPSAConfig.num_probes
-            n_groups = int(os.environ.get("BENCH_ATP_GROUPS", 0)) \
+            n_groups = _env_int("BENCH_ATP_GROUPS", 0) \
                 or ATPConfig.num_groups
             # BENCH_GROUP: ATP selection scope for multi-pocket batches
             # (BENCH_B = n_pockets * BENCH_GROUP rows of the same pocket

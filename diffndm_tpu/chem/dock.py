@@ -142,26 +142,38 @@ class TorsionTree:
         seen_g = {root_g}
         frontier = [root_g]
         seen_b = set()
-        while frontier:
-            nxt = []
-            for g in frontier:
-                for (i, j) in adj.get(g, []):
-                    key = (i, j)
-                    if key in seen_b:
-                        continue
-                    seen_b.add(key)
-                    a, b = (i, j) if group[i] == g else (j, i)
-                    # moving set: atoms whose path to a passes through b
-                    # (= closer to b than to a in hop count, b's side of
-                    # the cut)
-                    mv = gd[b] < gd[a]
-                    axes.append((a, b))
-                    move.append(mv)
-                    gb = group[b]
-                    if gb not in seen_g:
-                        seen_g.add(gb)
-                        nxt.append(gb)
-            frontier = nxt
+        while True:
+            while frontier:
+                nxt = []
+                for g in frontier:
+                    for (i, j) in adj.get(g, []):
+                        key = (i, j)
+                        if key in seen_b:
+                            continue
+                        seen_b.add(key)
+                        a, b = (i, j) if group[i] == g else (j, i)
+                        # moving set: atoms whose path to a passes
+                        # through b (= closer to b than to a in hop
+                        # count, b's side of the cut; atoms in OTHER
+                        # disconnected fragments have gd == 127 on both
+                        # sides and stay fixed)
+                        mv = gd[b] < gd[a]
+                        axes.append((a, b))
+                        move.append(mv)
+                        gb = group[b]
+                        if gb not in seen_g:
+                            seen_g.add(gb)
+                            nxt.append(gb)
+                frontier = nxt
+            # disconnected fragments (common in generated molecules):
+            # restart the BFS from each remaining fragment's largest
+            # rigid group so its torsions are parameterised too
+            left = [g for g in adj if g not in seen_g]
+            if not left:
+                break
+            root2 = max(left, key=lambda g: (sizes[g], -g))
+            seen_g.add(root2)
+            frontier = [root2]
         k = len(axes)
         axes_arr = (np.asarray(axes, np.int32) if k
                     else np.zeros((0, 2), np.int32))
@@ -365,8 +377,11 @@ def dock_molecule(mol: Molecule, scorer: VinaScorer,
     K = tree.n_rot
     P = n_restarts
 
-    key = jax.random.PRNGKey(seed)
-    k1, k2, k3 = jax.random.split(key, 3)
+    # consume the seed key fully: k1..k3 initialise the restarts and the
+    # surviving `key` is fresh for the MC rounds (split(k, 2) is a prefix
+    # of split(k, 3), so re-splitting the original key would hand the MC
+    # perturbations the very keys that built the initial poses)
+    k1, k2, k3, key = jax.random.split(jax.random.PRNGKey(seed), 4)
     trans = ctr + jax.random.uniform(k1, (P, 3), minval=-box_size / 2,
                                      maxval=box_size / 2) * 0.8
     quat = jax.random.normal(k2, (P, 4))
@@ -460,7 +475,11 @@ def calculate_native_dock_score(receptor_file: str, sdf_file: str,
         batch = dock_molecules(mols, scorer, box_size=box_size,
                                n_restarts=n_restarts, steps=steps,
                                seed=seed)
-    except Exception:
+    except Exception as e:
+        # fall through to the per-molecule path, but never silently: a
+        # systematic failure here is a bug, not an invalid molecule
+        print(f"[dock] batched path failed ({type(e).__name__}: {e}); "
+              f"falling back per molecule", flush=True)
         batch = [None] * len(mols)
     scores: List[float] = []
     docked = []
@@ -470,7 +489,9 @@ def calculate_native_dock_score(receptor_file: str, sdf_file: str,
                 res = dock_molecule(mol, scorer, box_size=box_size,
                                     n_restarts=n_restarts, steps=steps,
                                     seed=seed + i)
-            except Exception:
+            except Exception as e:
+                print(f"[dock] molecule {i} failed "
+                      f"({type(e).__name__}: {e})", flush=True)
                 res = None
         if res is None:
             scores.append(float("nan"))
@@ -497,6 +518,108 @@ def _ceil_to(n: int, m: int) -> int:
     return -(-max(n, 1) // m) * m
 
 
+def _pose_one_padded(x0m, am, axm, tm, mvm, quat, tors):
+    """Torsions (root-to-leaf, padded axes masked by tm) + rigid rotation
+    about the REAL-atom centroid.  Translation is applied by the caller."""
+    import jax.numpy as jnp
+
+    x = x0m
+    for k in range(axm.shape[0]):   # static at trace time
+        a = x[axm[k, 0]]
+        b = x[axm[k, 1]]
+        u = (b - a) / (_safe_norm(b - a) + 1e-9)
+        R = _axis_rot(u, tors[k])
+        rot = (x - a) @ R.T + a
+        x = jnp.where((tm[k] & mvm[k])[:, None], rot, x)
+    na = jnp.maximum(am.sum(), 1.0)
+    com = (x * am[:, None]).sum(0) / na
+    return (x - com) @ _quat_to_mat(quat).T
+
+
+def _bucket_both(consts, rec, half, trans, quat, tors):
+    """(objective [M, P], inter [M, P]) for one shape bucket.  Module
+    level (not a per-call closure) so jax.jit caches the compiled
+    program across dock_molecules calls with the same bucket shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    rec_x, rec_r, rec_h, rec_p = rec
+
+    def energy_one(x0m, am, lrm, lhm, lpm, axm, tm, mvm, ipm, imm,
+                   irm, ihm, ipolm, cm, trans, quat, tors):
+        x = _pose_one_padded(x0m, am, axm, tm, mvm, quat, tors) + trans
+        d = jnp.linalg.norm(x[:, None] - rec_x[None], axis=-1)
+        ds = d - (lrm[:, None] + rec_r[None])
+        e = _vina_pair_terms(ds, lhm[:, None] & rec_h[None],
+                             lpm[:, None] & rec_p[None])
+        within = (d < _CUTOFF) & (am[:, None] > 0.5)
+        inter = jnp.where(within, e, 0.0).sum()
+        dd = _safe_norm(x[ipm[:, 0]] - x[ipm[:, 1]])
+        ei = _vina_pair_terms(dd - irm, ihm, ipolm)
+        intra = jnp.where((dd < _CUTOFF) & (imm > 0.5), ei, 0.0).sum()
+        out = jnp.clip(jnp.abs(x - cm) - half, 0.0, None) * am[:, None]
+        return inter + intra + 10.0 * (out ** 2).sum(), inter
+
+    e_restarts = jax.vmap(energy_one, in_axes=(None,) * 14 + (0, 0, 0))
+    e_all = jax.vmap(e_restarts)
+    return e_all(*consts, trans, quat, tors)
+
+
+def _bucket_energy(consts, rec, half, params):
+    return _bucket_both(consts, rec, half, *params)
+
+
+def _bucket_refine(consts, rec, half, params, n, sched_len, lr):
+    """n Adam steps on the bucket objective; schedule spans sched_len
+    (the full first-stage step count, so MC re-refines reuse the early
+    high-lr part — matching the original per-call behaviour)."""
+    import jax
+    import optax
+
+    opt = optax.adam(optax.cosine_decay_schedule(lr, max(sched_len, 1),
+                                                 alpha=0.05))
+
+    def loss(p):
+        return _bucket_both(consts, rec, half, *p)[0].sum()
+
+    def body(carry, _):
+        pr, st = carry
+        g = jax.grad(loss)(pr)
+        up, st = opt.update(g, st, pr)
+        return (jax.tree.map(lambda a_, b_: a_ + b_, pr, up), st), None
+
+    (params, _), _ = jax.lax.scan(body, (params, opt.init(params)),
+                                  None, length=n)
+    return params
+
+
+def _bucket_perturb(params, pkey, scale):
+    import jax
+
+    kt, kq, ko = jax.random.split(pkey, 3)
+    t, q, th = params
+    return (t + scale * jax.random.normal(kt, t.shape),
+            q + 0.3 * scale * jax.random.normal(kq, q.shape),
+            th + (np.pi / 2) * scale * jax.random.normal(ko, th.shape))
+
+
+_BUCKET_JIT: dict = {}
+
+
+def _bucket_programs():
+    """Jitted entry points, created once — compilation then caches on
+    argument shapes (one compile per bucket shape per process)."""
+    if not _BUCKET_JIT:
+        import jax
+        from functools import partial
+
+        _BUCKET_JIT["energy"] = jax.jit(_bucket_energy)
+        _BUCKET_JIT["refine"] = partial(
+            jax.jit, static_argnums=(4, 5, 6))(_bucket_refine)
+        _BUCKET_JIT["perturb"] = jax.jit(_bucket_perturb)
+    return _BUCKET_JIT
+
+
 def dock_molecules(mols: Sequence[Molecule], scorer: VinaScorer,
                    centers: Optional[Sequence[np.ndarray]] = None,
                    box_size: float = 20.0, n_restarts: int = 128,
@@ -518,7 +641,6 @@ def dock_molecules(mols: Sequence[Molecule], scorer: VinaScorer,
     molecules without coordinates)."""
     import jax
     import jax.numpy as jnp
-    import optax
 
     if centers is None:
         centers = [None] * len(mols)
@@ -557,7 +679,6 @@ def dock_molecules(mols: Sequence[Molecule], scorer: VinaScorer,
         ihyd = np.zeros((M, p_pad), bool)
         ipol = np.zeros((M, p_pad), bool)
         ctr = np.zeros((M, 3), np.float32)
-        nrot = np.zeros((M,), np.float32)
         radius = 0.0
         for m, (i, mol, tree) in enumerate(items):
             n = mol.n_atoms
@@ -586,80 +707,25 @@ def dock_molecules(mols: Sequence[Molecule], scorer: VinaScorer,
             c = centers[i]
             ctr[m] = (xm.mean(0) if c is None
                       else np.asarray(c, np.float32))
-            nrot[m] = k
             radius = max(radius, float(np.linalg.norm(
                 xm - xm.mean(0), axis=-1).max()))
         # shared receptor crop: atoms any in-box ligand atom could reach
         reach = box_size / 2.0 + radius + _CUTOFF
         keep = (np.linalg.norm(scorer.rec_x[None] - ctr[:, None], axis=-1)
                 <= reach).any(0)
-        rec_x = jnp.asarray(scorer.rec_x[keep], jnp.float32)
-        rec_r = jnp.asarray(scorer.rec_r[keep], jnp.float32)
-        rec_h = jnp.asarray(scorer.rec_hydro[keep])
-        rec_p = jnp.asarray(scorer.rec_polar[keep])
+        rec = (jnp.asarray(scorer.rec_x[keep], jnp.float32),
+               jnp.asarray(scorer.rec_r[keep], jnp.float32),
+               jnp.asarray(scorer.rec_hydro[keep]),
+               jnp.asarray(scorer.rec_polar[keep]))
         half = box_size / 2.0
 
-        jx0 = jnp.asarray(x0)
-        jmask = jnp.asarray(amask)
-        jlr = jnp.asarray(lr_a)
-        jih = jnp.asarray(lhyd)
-        jipl = jnp.asarray(lpol)
-        jaxes = jnp.asarray(axes)
-        jtmask = jnp.asarray(tmask)
-        jmove = jnp.asarray(move)
-        jip = jnp.asarray(ip)
-        jimask = jnp.asarray(imask)
-        jir = jnp.asarray(ir)
-        jihyd = jnp.asarray(ihyd)
-        jipol = jnp.asarray(ipol)
-        jctr = jnp.asarray(ctr)
+        consts = tuple(jnp.asarray(a) for a in
+                       (x0, amask, lr_a, lhyd, lpol, axes, tmask, move,
+                        ip, imask, ir, ihyd, ipol, ctr))
+        jctr = consts[-1]
+        prog = _bucket_programs()
 
-        def pose_one(x0m, am, axm, tm, mvm, trans, quat, tors):
-            x = x0m
-            for k in range(k_pad):
-                a = x[axm[k, 0]]
-                b = x[axm[k, 1]]
-                u = (b - a) / (_safe_norm(b - a) + 1e-9)
-                R = _axis_rot(u, tors[k])
-                rot = (x - a) @ R.T + a
-                x = jnp.where((tm[k] & mvm[k])[:, None], rot, x)
-            na = jnp.maximum(am.sum(), 1.0)
-            com = (x * am[:, None]).sum(0) / na
-            return (x - com) @ _quat_to_mat(quat).T
-
-        def energy_one(x0m, am, lrm, lhm, lpm, axm, tm, mvm, ipm, imm,
-                       irm, ihm, ipolm, cm, trans, quat, tors):
-            x = pose_one(x0m, am, axm, tm, mvm, trans, quat, tors) + trans
-            d = jnp.linalg.norm(x[:, None] - rec_x[None], axis=-1)
-            ds = d - (lrm[:, None] + rec_r[None])
-            e = _vina_pair_terms(ds, lhm[:, None] & rec_h[None],
-                                 lpm[:, None] & rec_p[None])
-            within = (d < _CUTOFF) & (am[:, None] > 0.5)
-            inter = jnp.where(within, e, 0.0).sum()
-            xa = x[ipm[:, 0]]
-            xb = x[ipm[:, 1]]
-            dd = _safe_norm(xa - xb)
-            ei = _vina_pair_terms(dd - irm, ihm, ipolm)
-            intra = jnp.where((dd < _CUTOFF) & (imm > 0.5), ei, 0.0).sum()
-            out = jnp.clip(jnp.abs(x - cm) - half, 0.0, None) \
-                * am[:, None]
-            return inter + intra + 10.0 * (out ** 2).sum(), inter
-
-        # vmap over restarts (params only), then over molecules
-        e_restarts = jax.vmap(energy_one,
-                              in_axes=(None,) * 14 + (0, 0, 0))
-        e_all = jax.vmap(e_restarts)
-
-        def both(trans, quat, tors):
-            return e_all(jx0, jmask, jlr, jih, jipl, jaxes, jtmask,
-                         jmove, jip, jimask, jir, jihyd, jipol, jctr,
-                         trans, quat, tors)
-
-        def objective(trans, quat, tors):
-            return both(trans, quat, tors)[0]
-
-        key = jax.random.PRNGKey(seed)
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, key = jax.random.split(jax.random.PRNGKey(seed), 4)
         trans = jctr[:, None] + jax.random.uniform(
             k1, (M, P, 3), minval=-half, maxval=half) * 0.8
         quat = jax.random.normal(k2, (M, P, 4))
@@ -672,46 +738,19 @@ def dock_molecules(mols: Sequence[Molecule], scorer: VinaScorer,
         quat = quat.at[:, 0].set(jnp.asarray([1.0, 0.0, 0.0, 0.0]))
         tors = tors.at[:, 0].set(0.0)
 
-        opt = optax.adam(optax.cosine_decay_schedule(lr, max(steps, 1),
-                                                     alpha=0.05))
-
-        def loss(params):
-            return objective(*params).sum()
-
-        from functools import partial
-
-        @partial(jax.jit, static_argnums=2)
-        def refine(params, opt_state, n):
-            def body(carry, _):
-                pr, st = carry
-                g = jax.grad(loss)(pr)
-                up, st = opt.update(g, st, pr)
-                return (jax.tree.map(lambda a_, b_: a_ + b_, pr, up),
-                        st), None
-
-            (params, opt_state), _ = jax.lax.scan(
-                body, (params, opt_state), None, length=n)
-            return params, opt_state
-
         params = (trans, quat, tors)
-        params, _ = refine(params, opt.init(params), steps)
-
-        @jax.jit
-        def perturb(params, pkey, scale):
-            kt, kq, ko = jax.random.split(pkey, 3)
-            t, q, th = params
-            return (t + scale * jax.random.normal(kt, t.shape),
-                    q + 0.3 * scale * jax.random.normal(kq, q.shape),
-                    th + (np.pi / 2) * scale
-                    * jax.random.normal(ko, th.shape))
+        params = prog["refine"](consts, rec, half, params, steps, steps,
+                                lr)
 
         best = params
-        best_obj = np.asarray(objective(*params))  # [M, P]
+        best_obj = np.asarray(prog["energy"](consts, rec, half,
+                                             params)[0])  # [M, P]
         for _ in range(mc_rounds):
             key, sub = jax.random.split(key)
-            cand = perturb(best, sub, 1.0)
-            cand, _ = refine(cand, opt.init(cand), steps // 2)
-            obj = np.asarray(objective(*cand))
+            cand = prog["perturb"](best, sub, 1.0)
+            cand = prog["refine"](consts, rec, half, cand, steps // 2,
+                                  steps, lr)
+            obj = np.asarray(prog["energy"](consts, rec, half, cand)[0])
             take = obj < best_obj
             tk = jnp.asarray(take)
             best = jax.tree.map(
@@ -720,16 +759,19 @@ def dock_molecules(mols: Sequence[Molecule], scorer: VinaScorer,
                 best, cand)
             best_obj = np.where(take, obj, best_obj)
 
-        obj_f, inter_f = both(*best)
+        obj_f, inter_f = prog["energy"](consts, rec, half, best)
         obj_f = np.asarray(obj_f)
         inter_f = np.asarray(inter_f)
+        jx0, jmask = consts[0], consts[1]
+        jaxes, jtmask, jmove = consts[5], consts[6], consts[7]
         for m, (i, mol, tree) in enumerate(items):
             denom = 1.0 + W_NROT * tree.n_rot
             aff = inter_f[m] / denom
             ib = int(obj_f[m].argmin())
             x_best = np.asarray(
-                pose_one(jx0[m], jmask[m], jaxes[m], jtmask[m], jmove[m],
-                         best[0][m, ib], best[1][m, ib], best[2][m, ib])
+                _pose_one_padded(jx0[m], jmask[m], jaxes[m], jtmask[m],
+                                 jmove[m], best[1][m, ib],
+                                 best[2][m, ib])
                 + best[0][m, ib])[: mol.n_atoms]
             results[i] = DockResult(
                 coords=x_best, affinity=float(aff[ib]),

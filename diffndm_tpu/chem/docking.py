@@ -159,8 +159,11 @@ def _main(argv=None):
                 from diffndm_tpu.chem.dock import \
                     calculate_native_dock_score
 
+                # out_dir passthrough: the native engine writes docked
+                # poses next to the CSV, matching the qvina2 branch
                 scores = calculate_native_dock_score(
-                    receptor, sdf, n_restarts=args.restarts)
+                    receptor, sdf, out_dir=args.out_dir,
+                    n_restarts=args.restarts)
         except (DockingUnavailable, FileNotFoundError) as e:
             print(f"{stem}: skipped ({e})")
             continue

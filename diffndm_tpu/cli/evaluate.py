@@ -121,7 +121,9 @@ def main(argv=None):
                         n_restarts=args.dock_restarts)
                     vs = [r.affinity for r in batch if r is not None
                           and np.isfinite(r.affinity)]
-                except Exception:
+                except Exception as e:
+                    print(f"[evaluate] --dock failed on {path} "
+                          f"({type(e).__name__}: {e})")
                     vs = []
                 if vs:
                     affinity = f" dock~={float(np.mean(vs)):.2f}"

@@ -81,7 +81,11 @@ def main(argv=None):
                                                 noising_steps=args.timesteps)
         mols = model.result_to_molecules(res, sanitize=True,
                                          largest_frag=True)
-        scores = np.array([score_fn(m) if m is not None else 0.0
+        # invalid sentinel: 0.0 floors qed/sa (range [0,1]) but NOT the
+        # vina objective, where clashing-yet-valid poses score below 0 —
+        # -inf keeps invalid molecules out of the survivor set
+        invalid = 0.0 if args.objective in ("qed", "sa") else -np.inf
+        scores = np.array([score_fn(m) if m is not None else invalid
                            for m in mols])
         order = np.argsort(scores)[::-1]
         top = order[: args.top_k]

@@ -148,7 +148,11 @@ class RewardOracle:
             return out
         items = [(coords[b][mask[b]], types[b][mask[b]])
                  for b in range(coords.shape[0])]
-        if self.num_workers > 1 and len(items) >= 8:
+        # w_vina needs the receptor scorer, which lives only in THIS
+        # process (never shipped to pool workers) — force the serial path
+        # so the affinity term cannot silently vanish under
+        # DIFFNDM_ORACLE_WORKERS>1
+        if self.num_workers > 1 and len(items) >= 8 and w_vina == 0:
             pool = self._get_pool()
             fn = partial(_score_star, self.dataset_info, weights)
             for b, r in enumerate(pool.map(fn, items, chunksize=4)):

@@ -113,6 +113,31 @@ def test_dock_finds_favourable_pose_and_is_deterministic(rigid):
     assert res2.affinity == pytest.approx(res.affinity, abs=1e-5)
 
 
+def test_torsion_tree_covers_disconnected_fragments():
+    """Generated molecules are often fragmented; every fragment's
+    rotatable bonds must be parameterised (regression: the BFS used to
+    start only from the global largest rigid group, freezing torsions in
+    other fragments and skewing the 1 + w*N_rot affinity denominator
+    against num_rotatable_bonds)."""
+    from diffndm_tpu.chem.mol import Molecule
+
+    # two disconnected butane chains, 50 A apart
+    coords = np.zeros((8, 3), np.float32)
+    coords[:4, 0] = np.arange(4) * 1.5
+    coords[4:, 0] = np.arange(4) * 1.5 + 50.0
+    mol = Molecule(symbols=["C"] * 8,
+                   bonds=[(0, 1, 1), (1, 2, 1), (2, 3, 1),
+                          (4, 5, 1), (5, 6, 1), (6, 7, 1)],
+                   coords=coords)
+    tree = TorsionTree.from_molecule(mol)
+    assert tree.n_rot == num_rotatable_bonds(mol) == 2
+    for k in range(tree.n_rot):
+        mv = tree.move[k]
+        # the moving set stays within the torsion's own fragment
+        frag = set(np.where(mv)[0])
+        assert frag <= {0, 1, 2, 3} or frag <= {4, 5, 6, 7}
+
+
 def test_batched_docking_matches_semantics(rigid, flex_mol):
     """dock_molecules buckets by padded shape and runs one jitted
     [M, P] optimisation per bucket; padded torsion axes (a == b) and
