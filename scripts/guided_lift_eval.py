@@ -184,7 +184,7 @@ def main(argv=None):
     result = {"unguided": unguided, "guided": guided,
               "qed_lift": guided["qed"] - unguided["qed"],
               "sa_lift": guided["sa"] - unguided["sa"],
-              "ckpt": ckpt, "T": args.T,
+              "ckpt": ckpt, "T": args.T, "data": args.data,
               "n_pockets": len(picks), "n_samples": args.n_samples}
     if args.w_connectivity:
         # flag non-reference reward configurations in the artifact

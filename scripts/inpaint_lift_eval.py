@@ -176,6 +176,8 @@ def main(argv=None):
               "timesteps": args.timesteps,
               "resamplings": args.resamplings,
               "add_n_nodes": args.add_n_nodes,
+              "ckpt": os.path.join(args.run, args.ckpt),
+              "data": args.data,
               "n_pockets": len(picks), "n_samples": args.n_samples}
     print(json.dumps({"qed_lift": result["qed_lift"]}))
     if args.json:
