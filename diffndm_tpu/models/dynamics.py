@@ -165,7 +165,13 @@ class EGNNDynamics(nn.Module):
                                     update_coords_mask=update_coords_mask,
                                     edge_attr=edge_attr, nbr_idx=nbr_idx,
                                     n_lig=(nl if band_perm is not None
-                                           else None))
+                                           else None),
+                                    # conditional mode: pocket coords are
+                                    # frozen, so only the ligand rows'
+                                    # coordinate updates are computed
+                                    coord_update_rows=(
+                                        None if cfg.update_pocket_coords
+                                        else nl))
             vel = (x_final - x) * mask[..., None]
         elif cfg.mode == "gnn_dynamics":
             gnn = GNN(cfg, in_node_nf=h.shape[-1] + self.n_dims,

@@ -366,10 +366,20 @@ class GCL(nn.Module):
 
 class EquivariantUpdate(nn.Module):
     """Coordinate update with tanh-clamped radial weights and optional
-    cross-product term (cf. egnn_new.py:69-132)."""
+    cross-product term (cf. egnn_new.py:69-132).
+
+    ``coord_rows``: static count of leading rows whose coordinates can
+    actually move.  In conditional mode the pocket is frozen — the
+    reference computes every node's update and multiplies the pocket's
+    by zero (dynamics.py:130-132); with padded row tiles we instead skip
+    the frozen row tiles entirely, which removes the coordinate+cross
+    edge chains for ~90% of rows at flagship shapes.  Bitwise-exact:
+    the skipped aggregates were multiplied by ``update_coords_mask``'s
+    zeros before being added to ``x`` (finite * 0 + x == x)."""
     cfg: EGNNConfig
     edge_nf: int
     coords_range: float
+    coord_rows: Optional[int] = None
 
     def _dense(self, name, din, dout, bias=True, init=_default_init):
         p = {"kernel": self.param(f"{name}_kernel", init, (din, dout))}
@@ -458,6 +468,18 @@ class EquivariantUpdate(nn.Module):
             return x * node_mask[..., None].astype(x.dtype)
 
         tile, n_pad = ctx.tile, ctx.n_pad
+        if (self.coord_rows is not None
+                and cfg.aggregation_method == "sum"):
+            # frozen-tail skip: ctxs[0] always covers the leading rows
+            # with full columns (the dense context, or the banding head
+            # context whose tiles span >= coord_rows rows), so the
+            # movable rows' aggregation is complete; the remaining row
+            # tiles only ever produced updates that update_coords_mask
+            # zeroes, and are not computed at all.
+            head = ctxs[0]
+            cr_tiles = min(-(-self.coord_rows // tile), int(head.n_tiles))
+            ctxs = [head._replace(n_tiles=cr_tiles,
+                                  row_i0s=head.row_i0s[:cr_tiles])]
         a_p = _pad_rows(a, n_pad)
         x_p = _pad_rows(x, n_pad)
         ac_p = _pad_rows(ac, n_pad) if cross_tail is not None else None
@@ -523,6 +545,9 @@ class EquivariantUpdate(nn.Module):
                 [ctx.adj_rows(i * tile) for i in range(n_tiles)],
                 axis=1)[:, :n], axis=2, keepdims=True)
             agg = agg / jnp.maximum(deg, 1.0).astype(dt)
+        if agg.shape[1] < n:
+            # frozen-tail rows were skipped; their update is exactly zero
+            agg = jnp.pad(agg, ((0, 0), (0, n - agg.shape[1]), (0, 0)))
         if update_coords_mask is not None:
             agg = agg * update_coords_mask.astype(dt)
         x = x + agg.astype(x.dtype)
@@ -535,6 +560,7 @@ class EquivariantBlock(nn.Module):
     cfg: EGNNConfig
     edge_nf: int
     coords_range: float
+    coord_rows: Optional[int] = None
 
     @nn.compact
     def __call__(self, h, x, adj, node_mask, edge_attr0, update_coords_mask,
@@ -545,6 +571,7 @@ class EquivariantBlock(nn.Module):
             h = GCL(self.cfg, self.edge_nf, name=f"gcl_{i}")(
                 h, ctxs, node_mask)
         x = EquivariantUpdate(self.cfg, self.edge_nf, self.coords_range,
+                              coord_rows=self.coord_rows,
                               name="gcl_equiv")(
             h, x, ctxs, node_mask, update_coords_mask)
         return h, x
@@ -560,10 +587,16 @@ class EGNN(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, adj, node_mask, update_coords_mask=None,
-                 edge_attr=None, nbr_idx=None, n_lig=None):
+                 edge_attr=None, nbr_idx=None, n_lig=None,
+                 coord_update_rows=None):
         """h: [B, N, in_node_nf]; x: [B, N, 3]; adj: [B, N, N] dense or
         [B, N, K] when nbr_idx [B, N, K] is given; edge_attr: optional
         [B, N, {N|K}, in_edge_nf].
+
+        ``coord_update_rows`` (static int): only the leading rows'
+        coordinates can move (conditional mode: the ligand block);
+        EquivariantUpdate skips the frozen row tiles — bitwise-exact
+        because update_coords_mask zeroed them anyway.
 
         Returns (h_out [B, N, out_node_nf], x_out [B, N, 3]).
         """
@@ -603,6 +636,7 @@ class EGNN(nn.Module):
                      if cfg.remat else EquivariantBlock)
         for i in range(cfg.n_layers):
             h, x = block_cls(cfg, edge_nf, coords_range_layer,
+                             coord_rows=coord_update_rows,
                              name=f"e_block_{i}")(
                 h, x, adj, node_mask, edge_attr0, update_coords_mask,
                 nbr_idx, n_lig)

@@ -130,8 +130,16 @@ def egnn_flops_analytic(cfg, atom_nf: int, b: int, n_lig: int,
     per_gcl_edge = H * H + e * H + (H if cfg.attention else 0)
     per_equ_node = (2 + 2 * cross) * H * H
     per_equ_edge = (1 + cross) * (H * H + e * H + H)
+    if getattr(cfg, "update_pocket_coords", False):
+        equ_edges = edges
+    else:
+        # conditional mode: EquivariantUpdate's frozen-tail skip
+        # (models/egnn.py coord_rows) computes the coordinate chains
+        # only for the tiles covering the ligand rows, full column width
+        rt = max(int(getattr(cfg, "row_tile", 1) or 1), 1)
+        equ_edges = min(-(-n_lig // rt) * rt, n) * n
     per_layer = (n * (cfg.inv_sublayers * per_gcl_node + per_equ_node)
-                 + edges * (cfg.inv_sublayers * per_gcl_edge
-                            + per_equ_edge))
+                 + edges * cfg.inv_sublayers * per_gcl_edge
+                 + equ_edges * per_equ_edge)
     embed = n * (cfg.joint_nf + 1) * H + n * H * (cfg.joint_nf + 1)
     return 2.0 * b * (cfg.n_layers * per_layer + embed)
