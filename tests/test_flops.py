@@ -68,6 +68,26 @@ def test_banding_reduces_flops():
     assert 0.6 * f_b < a_b < f_b, (a_b, f_b)
 
 
+def test_frozen_pocket_skip_reduces_flops():
+    """Conditional mode must COST less than the joint model at the same
+    shape: the coordinate-update chains for the frozen pocket rows are
+    skipped (models/egnn.py coord_rows), not computed-then-zeroed.  A
+    regression back to compute-and-mask shows up as f_cond ~= f_joint."""
+    kw = dict(hidden_nf=32, joint_nf=16, n_layers=2, row_tile=8,
+              use_pallas=False)
+    cfg_c = EGNNConfig(update_pocket_coords=False, **kw)
+    cfg_j = EGNNConfig(update_pocket_coords=True, **kw)
+    m_c, p_c = _module_and_params(cfg_c, 8, 56)
+    m_j, p_j = _module_and_params(cfg_j, 8, 56)
+    f_c = xla_forward_flops(m_c, p_c, 1, 8, 56)["flops"]
+    f_j = xla_forward_flops(m_j, p_j, 1, 8, 56)["flops"]
+    a_c = egnn_flops_analytic(cfg_c, ANF, 1, 8, 56)
+    # 8 of 64 rows move -> the equivariant edge chains shrink ~8x; with
+    # the GCL chain unchanged the total must drop well below joint cost
+    assert f_c < 0.72 * f_j, (f_c, f_j)
+    assert 0.6 * f_c < a_c < f_c, (a_c, f_c)
+
+
 def test_peak_lookup():
     assert peak_tflops_for("TPU v5 lite0") == 197.0
     assert peak_tflops_for("TPU v4 chip") == 275.0
