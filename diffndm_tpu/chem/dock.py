@@ -33,7 +33,10 @@ import numpy as np
 from diffndm_tpu.chem.mol import Molecule
 from diffndm_tpu.chem.scoring import (W_GAUSS1, W_GAUSS2, W_HBOND,
                                       W_HYDROPHOBIC, W_NROT, W_REPULSION,
-                                      VinaScorer, _atom_properties)
+                                      VinaScorer, _atom_properties,
+                                      hbond_direction_weight,
+                                      ligand_hbond_types,
+                                      neighbor_mean_operator)
 
 _CUTOFF = 8.0
 
@@ -276,6 +279,13 @@ def make_score_fn(tree: TorsionTree, mol: Molecule, scorer: VinaScorer,
 
     lig_x0 = np.asarray(mol.coords, np.float32)
     lig_r, lig_hydro, lig_polar = _atom_properties(lig_x0, mol.symbols)
+    if mol.bonds:
+        lig_don, lig_acc = ligand_hbond_types(mol)
+        Anb, has_nb = neighbor_mean_operator(mol)
+    else:
+        lig_don = lig_acc = lig_polar
+        Anb = np.zeros((len(lig_x0), len(lig_x0)), np.float32)
+        has_nb = np.zeros(len(lig_x0), bool)
 
     # receptor atoms that any in-box ligand atom could see within cutoff
     ctr = np.asarray(center, np.float32)
@@ -286,11 +296,19 @@ def make_score_fn(tree: TorsionTree, mol: Molecule, scorer: VinaScorer,
     rec_x = jnp.asarray(scorer.rec_x[keep], jnp.float32)
     rec_r = jnp.asarray(scorer.rec_r[keep], jnp.float32)
     rec_h = jnp.asarray(scorer.rec_hydro[keep], bool)
-    rec_p = jnp.asarray(scorer.rec_polar[keep], bool)
+    rec_don = scorer.rec_donor[keep]
+    rec_acc = scorer.rec_acceptor[keep]
+    rec_hd = jnp.asarray(scorer.rec_hdir[keep], jnp.float32)
+    rec_hh = jnp.asarray(scorer.rec_hdir_has[keep])
+    directional = bool(getattr(scorer, "directional_hbond", False))
+    Aop = jnp.asarray(Anb)
+    jhas_nb = jnp.asarray(has_nb)
 
     lr = jnp.asarray(lig_r, jnp.float32)
     inter_hydro = jnp.asarray(lig_hydro[:, None] & np.asarray(rec_h)[None])
-    inter_polar = jnp.asarray(lig_polar[:, None] & np.asarray(rec_p)[None])
+    # hbond pairs: ligand donor vs receptor acceptor, either direction
+    inter_polar = jnp.asarray((lig_don[:, None] & rec_acc[None])
+                              | (lig_acc[:, None] & rec_don[None]))
 
     ip = tree.intra_pairs
     has_intra = len(ip) > 0
@@ -299,8 +317,9 @@ def make_score_fn(tree: TorsionTree, mol: Molecule, scorer: VinaScorer,
                               jnp.float32)
         intra_hydro = jnp.asarray(lig_hydro[ip[:, 0]]
                                   & lig_hydro[ip[:, 1]])
-        intra_polar = jnp.asarray(lig_polar[ip[:, 0]]
-                                  & lig_polar[ip[:, 1]])
+        intra_polar = jnp.asarray(
+            (lig_don[ip[:, 0]] & lig_acc[ip[:, 1]])
+            | (lig_acc[ip[:, 0]] & lig_don[ip[:, 1]]))
         ipa = jnp.asarray(ip)
 
     pose = make_pose_fn(tree, lig_x0)
@@ -310,7 +329,16 @@ def make_score_fn(tree: TorsionTree, mol: Molecule, scorer: VinaScorer,
     def inter_energy(x):
         d = jnp.linalg.norm(x[:, None] - rec_x[None], axis=-1)
         ds = d - (lr[:, None] + rec_r[None])
-        e = _vina_pair_terms(ds, inter_hydro, inter_polar)
+        polar_w = inter_polar.astype(jnp.float32)
+        if directional:
+            # pose-covariant ligand base directions (see scoring.py)
+            v = x - Aop @ x
+            nv = _safe_norm(v)[:, None]
+            ldir = jnp.where(nv > 1e-4, v / nv, 0.0)
+            lhas = jhas_nb & (nv[:, 0] > 1e-4)
+            polar_w = polar_w * hbond_direction_weight(
+                x, ldir, lhas, rec_x, rec_hd, rec_hh, d, xp=jnp)
+        e = _vina_pair_terms(ds, inter_hydro, polar_w)
         return jnp.where(d < _CUTOFF, e, 0.0).sum()
 
     def one(trans, quat, torsions):
@@ -351,6 +379,32 @@ class DockResult:
     n_rot: int
     n_restarts: int
     all_affinities: np.ndarray  # [P] per-restart final affinities
+    # top distinct binding modes (qvina2's num_modes output): poses
+    # sorted by objective, greedily deduplicated at 2 A RMSD — None on
+    # paths that do not compute them (batched dock_molecules)
+    top_poses: Optional[np.ndarray] = None      # [K, N, 3]
+    top_affinities: Optional[np.ndarray] = None  # [K]
+
+
+def cluster_poses(coords_all: np.ndarray, order: np.ndarray,
+                  rmsd_thresh: float = 2.0, max_modes: int = 9
+                  ) -> List[int]:
+    """Greedy Vina-style mode clustering: walk poses in score order,
+    keep one representative per >= rmsd_thresh-distinct cluster."""
+    reps: List[int] = []
+    for i in order:
+        xi = coords_all[i]
+        distinct = True
+        for j in reps:
+            if np.sqrt(((xi - coords_all[j]) ** 2).sum(-1).mean()) \
+                    < rmsd_thresh:
+                distinct = False
+                break
+        if distinct:
+            reps.append(int(i))
+            if len(reps) >= max_modes:
+                break
+    return reps
 
 
 def dock_molecule(mol: Molecule, scorer: VinaScorer,
@@ -448,13 +502,16 @@ def dock_molecule(mol: Molecule, scorer: VinaScorer,
     denom = 1.0 + W_NROT * tree.n_rot
     aff = inter / denom
     i_best = int(best_obj.argmin())
-    x_best = np.asarray(pose(best[0][i_best], best[1][i_best],
-                             best[2][i_best]))
+    all_x = np.asarray(jax.vmap(pose)(*best))        # [P, N, 3]
+    x_best = all_x[i_best]
+    reps = cluster_poses(all_x, np.argsort(best_obj))
     return DockResult(coords=x_best, affinity=float(aff[i_best]),
                       inter=float(inter[i_best]),
                       objective=float(best_obj[i_best]),
                       n_rot=tree.n_rot, n_restarts=P,
-                      all_affinities=aff)
+                      all_affinities=aff,
+                      top_poses=all_x[reps],
+                      top_affinities=aff[reps])
 
 
 def calculate_native_dock_score(receptor_file: str, sdf_file: str,
@@ -543,15 +600,24 @@ def _bucket_both(consts, rec, half, trans, quat, tors):
     import jax
     import jax.numpy as jnp
 
-    rec_x, rec_r, rec_h, rec_p = rec
+    rec_x, rec_r, rec_h, rec_don, rec_acc, rec_hd, rec_hh = rec
 
-    def energy_one(x0m, am, lrm, lhm, lpm, axm, tm, mvm, ipm, imm,
-                   irm, ihm, ipolm, cm, trans, quat, tors):
+    def energy_one(x0m, am, lrm, lhm, ldm, lam, anm, hnm, axm, tm, mvm,
+                   ipm, imm, irm, ihm, ipolm, cm, trans, quat, tors):
         x = _pose_one_padded(x0m, am, axm, tm, mvm, quat, tors) + trans
         d = jnp.linalg.norm(x[:, None] - rec_x[None], axis=-1)
         ds = d - (lrm[:, None] + rec_r[None])
-        e = _vina_pair_terms(ds, lhm[:, None] & rec_h[None],
-                             lpm[:, None] & rec_p[None])
+        pw = ((ldm[:, None] & rec_acc[None])
+              | (lam[:, None] & rec_don[None])).astype(jnp.float32)
+        # directional H-bond weight; an all-False rec_hh (non-directional
+        # scorer) makes this a no-op without retracing
+        v = x - anm @ x
+        nv = _safe_norm(v)[:, None]
+        ldir = jnp.where(nv > 1e-4, v / nv, 0.0)
+        lhas = hnm & (nv[:, 0] > 1e-4)
+        pw = pw * hbond_direction_weight(x, ldir, lhas, rec_x, rec_hd,
+                                         rec_hh, d, xp=jnp)
+        e = _vina_pair_terms(ds, lhm[:, None] & rec_h[None], pw)
         within = (d < _CUTOFF) & (am[:, None] > 0.5)
         inter = jnp.where(within, e, 0.0).sum()
         dd = _safe_norm(x[ipm[:, 0]] - x[ipm[:, 1]])
@@ -560,7 +626,7 @@ def _bucket_both(consts, rec, half, trans, quat, tors):
         out = jnp.clip(jnp.abs(x - cm) - half, 0.0, None) * am[:, None]
         return inter + intra + 10.0 * (out ** 2).sum(), inter
 
-    e_restarts = jax.vmap(energy_one, in_axes=(None,) * 14 + (0, 0, 0))
+    e_restarts = jax.vmap(energy_one, in_axes=(None,) * 17 + (0, 0, 0))
     e_all = jax.vmap(e_restarts)
     return e_all(*consts, trans, quat, tors)
 
@@ -669,7 +735,10 @@ def dock_molecules(mols: Sequence[Molecule], scorer: VinaScorer,
         amask = np.zeros((M, n_pad), np.float32)
         lr_a = np.zeros((M, n_pad), np.float32)
         lhyd = np.zeros((M, n_pad), bool)
-        lpol = np.zeros((M, n_pad), bool)
+        ldon = np.zeros((M, n_pad), bool)
+        lacc = np.zeros((M, n_pad), bool)
+        anb = np.zeros((M, n_pad, n_pad), np.float32)
+        hnb = np.zeros((M, n_pad), bool)
         axes = np.zeros((M, k_pad, 2), np.int32)
         tmask = np.zeros((M, k_pad), bool)
         move = np.zeros((M, k_pad, n_pad), bool)
@@ -688,9 +757,16 @@ def dock_molecules(mols: Sequence[Molecule], scorer: VinaScorer,
             x0[m, :n] = xm
             amask[m, :n] = 1.0
             r_, h_, p_ = _atom_properties(xm, mol.symbols)
+            d_, a_ = (ligand_hbond_types(mol) if mol.bonds
+                      else (p_, p_))
             lr_a[m, :n] = r_
             lhyd[m, :n] = h_
-            lpol[m, :n] = p_
+            ldon[m, :n] = d_
+            lacc[m, :n] = a_
+            if mol.bonds:
+                A_, hn_ = neighbor_mean_operator(mol)
+                anb[m, :n, :n] = A_
+                hnb[m, :n] = hn_
             if k:
                 axes[m, :k] = tree.axes
                 tmask[m, :k] = True
@@ -702,8 +778,11 @@ def dock_molecules(mols: Sequence[Molecule], scorer: VinaScorer,
                              + r_[tree.intra_pairs[:, 1]])
                 ihyd[m, :p] = (h_[tree.intra_pairs[:, 0]]
                                & h_[tree.intra_pairs[:, 1]])
-                ipol[m, :p] = (p_[tree.intra_pairs[:, 0]]
-                               & p_[tree.intra_pairs[:, 1]])
+                ipol[m, :p] = (
+                    (d_[tree.intra_pairs[:, 0]]
+                     & a_[tree.intra_pairs[:, 1]])
+                    | (a_[tree.intra_pairs[:, 0]]
+                       & d_[tree.intra_pairs[:, 1]]))
             c = centers[i]
             ctr[m] = (xm.mean(0) if c is None
                       else np.asarray(c, np.float32))
@@ -716,12 +795,20 @@ def dock_molecules(mols: Sequence[Molecule], scorer: VinaScorer,
         rec = (jnp.asarray(scorer.rec_x[keep], jnp.float32),
                jnp.asarray(scorer.rec_r[keep], jnp.float32),
                jnp.asarray(scorer.rec_hydro[keep]),
-               jnp.asarray(scorer.rec_polar[keep]))
+               jnp.asarray(scorer.rec_donor[keep]),
+               jnp.asarray(scorer.rec_acceptor[keep]),
+               jnp.asarray(
+                   scorer.rec_hdir[keep], jnp.float32),
+               jnp.asarray(
+                   scorer.rec_hdir_has[keep]
+                   if getattr(scorer, "directional_hbond", False)
+                   else np.zeros(int(keep.sum()), bool)))
         half = box_size / 2.0
 
         consts = tuple(jnp.asarray(a) for a in
-                       (x0, amask, lr_a, lhyd, lpol, axes, tmask, move,
-                        ip, imask, ir, ihyd, ipol, ctr))
+                       (x0, amask, lr_a, lhyd, ldon, lacc, anb, hnb,
+                        axes, tmask, move, ip, imask, ir, ihyd, ipol,
+                        ctr))
         jctr = consts[-1]
         prog = _bucket_programs()
 
@@ -763,7 +850,7 @@ def dock_molecules(mols: Sequence[Molecule], scorer: VinaScorer,
         obj_f = np.asarray(obj_f)
         inter_f = np.asarray(inter_f)
         jx0, jmask = consts[0], consts[1]
-        jaxes, jtmask, jmove = consts[5], consts[6], consts[7]
+        jaxes, jtmask, jmove = consts[8], consts[9], consts[10]
         for m, (i, mol, tree) in enumerate(items):
             denom = 1.0 + W_NROT * tree.n_rot
             aff = inter_f[m] / denom

@@ -64,6 +64,9 @@ class ConditionalSampler:
         self.oracle = oracle or RewardOracle(dataset_info)
         self.adjust_module = adjust_module
         self.mesh = mesh
+        # see RewardOracle.result_mesh: replicate io_callback rewards
+        # under SPMD instead of leaving them {maximal device=0}
+        self.oracle.result_mesh = mesh
         # optional host tap called every step with (s, z_lig, xh_pocket,
         # lig_mask) — the mid-trajectory molecule dump hook
         # (conditional_model.py:555-593 my_in_test)

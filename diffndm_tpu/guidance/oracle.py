@@ -65,6 +65,14 @@ class RewardOracle:
                 self.native = None
         # optional receptor for the affinity reward term (w_vina)
         self.scorer = None
+        # set by ConditionalSampler when sampling under a device mesh:
+        # io_callback results come back pinned to {maximal device=0},
+        # and the SPMD partitioner then involuntarily rematerialises the
+        # downstream (k, 2, B) reshape (observed in the 8-device dryrun).
+        # Constraining the [B_flat] reward vector to an explicitly
+        # REPLICATED sharding makes the device-0 -> all broadcast a
+        # cheap, voluntary collective on a tiny tensor instead.
+        self.result_mesh = None
         # invalid-molecule accounting: invalid latents are EXPECTED during
         # guidance (reward 0, metrics.evaluate_new:318-339) but any other
         # exception is a bug and must surface, not silently become 0.0
@@ -186,9 +194,15 @@ class RewardOracle:
                    w_vina, w_conn)
         host = partial(self.score_batch_host, weights=weights)
         b = coords.shape[0]
-        return io_callback(
+        r = io_callback(
             host, jax.ShapeDtypeStruct((b,), jnp.float32),
             coords, h, mask, ordered=False)
+        if self.result_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            r = jax.lax.with_sharding_constraint(
+                r, NamedSharding(self.result_mesh, PartitionSpec()))
+        return r
 
     # convenience profiles
     def spsa_rewards(self, coords, h, mask, cfg) -> jnp.ndarray:

@@ -170,8 +170,16 @@ def test_3rfm_complex_golden():
         pytest.skip("reference example not mounted")
     from diffndm_tpu.chem.io import read_sdf
 
-    score = VinaScorer.from_pdb(pdb).score(read_sdf(sdf)[0])
+    mol = read_sdf(sdf)[0]
+    score = VinaScorer.from_pdb(pdb).score(mol)
     # crystal-pose rescoring must land in a plausible binding range
     assert -20.0 < score < 0.0
-    # golden value measured at round 3 (published weights, this parser)
-    assert abs(score - (-3.9182963967988855)) < 1e-6
+    # golden value re-measured at round 5 (published weights + typed
+    # donor/acceptor + directional hbond, this parser)
+    assert abs(score - (-3.851347114911245)) < 1e-6
+    # the distance-only published-weights configuration is the round-3
+    # golden, still reachable by disabling directionality + typing falls
+    # back only for hbond geometry (typing itself left 3rfm unchanged)
+    plain = VinaScorer.from_pdb(pdb, )
+    plain.directional_hbond = False
+    assert abs(plain.score(mol) - (-3.9182963967988855)) < 1e-6
