@@ -383,14 +383,12 @@ def main():
                 # tile delta, so the guaranteed per-row coverage (and
                 # hence g_exact below) is unchanged by this knob.
                 fanout_row_tile=_env_int("BENCH_FANOUT_ROW", 16))
-            # Guided mode ships with approximate banding (default W=128,
-            # BENCH_GUIDED_BAND=0 restores the exact window): the probe
-            # rollouts and trajectory tolerate a slightly truncated
-            # neighbourhood because every guidance event re-scores real
-            # decoded molecules.  Quality parity vs exact is pinned by
-            # scripts/band_parity_eval.py (committed JSON:
-            # examples/band_parity.json — coord RMS + zero type flips).
-            g_band = _env_int("BENCH_GUIDED_BAND", 128)
+            # Guided banding: the default is the EXACT window (round 5 —
+            # the approximate-band license in examples/band_parity.json
+            # was 3 seeds x 1 pocket with ~-0.03 quality deltas, too
+            # thin for a headline).  BENCH_GUIDED_BAND=128 opts back in
+            # to the faster approximate window for experimentation.
+            g_band = _env_int("BENCH_GUIDED_BAND", 0)
             g_exact = True
             g_step_time = step_time
             g_module = module

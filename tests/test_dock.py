@@ -166,10 +166,19 @@ def test_batched_docking_matches_semantics(rigid, flex_mol):
 
 def test_redock_artifact_claims():
     """Pins the committed redocking artifact (examples/dock_redock.json,
-    scripts/dock_redock_eval.py): on both reference example complexes the
-    search found a pose scoring below the crystal pose's rescoring value
-    — the invariant the UNCALIBRATED function supports (sub-2-A pose
-    recovery needs a smina calibration, see chem/scoring.py)."""
+    scripts/dock_redock_eval.py) after the round-5 scoring upgrade
+    (typed donor/acceptor + directional hbond):
+
+    - both searches find poses scoring below the crystal rescoring value
+      (the search optimises its objective);
+    - 3rfm (rigid caffeine): the function holds a near-native local
+      minimum — pure local refinement from the crystal stays < 2 A —
+      and the global best pose is < 4 A (was 7.87 A in round 4).  The
+      residual misranking (a flipped orientation ~0.5 kcal better) is a
+      contact-count preference of the published distance-only gauss
+      terms; caffeine/3RFM's own crystallographic orientation is weakly
+      determined (B-factors ~147).
+    - 5ndu (12 rotatable bonds, 91 atoms): best pose < 8 A (was 10.7)."""
     import json
     import os
 
@@ -182,7 +191,11 @@ def test_redock_artifact_claims():
     for name, row in d["complexes"].items():
         assert row["improved_over_crystal"], (name, row)
         assert row["docked_affinity"] < row["crystal_score"]
-        assert row["rmsd_best_to_crystal_A"] < 12.0, (name, row)
+    r3 = d["complexes"]["3rfm"]
+    assert r3["crystal_basin_rmsd_A"] < 2.0, r3
+    assert r3["rmsd_best_to_crystal_A"] < 4.0, r3
+    assert r3["crystal_basin_affinity"] < r3["crystal_score"]
+    assert d["complexes"]["5ndu"]["rmsd_best_to_crystal_A"] < 8.0
 
 
 def test_batch_docking_cli_native_engine(tmp_path):
